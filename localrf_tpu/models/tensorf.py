@@ -1,0 +1,309 @@
+"""TensoRF-VM factored radiance field as a functional pytree.
+
+Re-design of the reference's `TensorVMSplit` (ref: models/tensoRF.py:10-233,
+models/tensorBase.py:231-380): parameters are a flat dict of arrays, every
+operation is a pure function, and coarse-to-fine upsampling returns a new
+pytree (one jit bucket per resolution stage, cached across local fields).
+
+Density: 3 planes [8, H, W] + 3 lines [8, D]; appearance: 3x [24, ., .]
+planes + lines; feature = sum over planes of plane*line products; appearance
+products feed a 72->27 basis matmul. matMode=[[0,1],[0,2],[1,2]],
+vecMode=[2,1,0] (ref: models/tensorBase.py:274-275).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid import (
+    grid_sample_1d,
+    grid_sample_2d,
+    grid_sample_3d,
+    resize_align_corners_1d,
+    resize_align_corners_2d,
+)
+from ..ops.math import positional_encoding, tv_loss
+
+MAT_MODE = ((0, 1), (0, 2), (1, 2))
+VEC_MODE = (2, 1, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class TensorfConfig:
+    """Static (hashable) field configuration. One jit bucket per grid_size."""
+
+    grid_size: tuple[int, int, int]
+    density_n_comp: tuple[int, int, int] = (8, 8, 8)
+    app_n_comp: tuple[int, int, int] = (24, 24, 24)
+    app_dim: int = 27
+    feature_c: int = 128
+    density_shift: float = -5.0
+    distance_scale: float = 25.0
+    ray_march_weight_thres: float = 1e-4
+    alpha_mask_thres: float = 1e-4
+    step_ratio: float = 0.5
+    fea2dense_act: str = "softplus"
+    shading_mode: str = "MLP_Fea_late_view"
+    pos_pe: int = 0
+    view_pe: int = 0
+    fea_pe: int = 0
+    aabb_lo: tuple[float, float, float] = (-2.0, -2.0, -2.0)
+    aabb_hi: tuple[float, float, float] = (2.0, 2.0, 2.0)
+
+    @property
+    def aabb(self) -> np.ndarray:
+        return np.array([self.aabb_lo, self.aabb_hi], dtype=np.float32)
+
+    @property
+    def aabb_size(self) -> np.ndarray:
+        return self.aabb[1] - self.aabb[0]
+
+    @property
+    def units(self) -> np.ndarray:
+        return self.aabb_size / (np.array(self.grid_size) - 1)
+
+    @property
+    def step_size(self) -> float:
+        # ref: models/tensorBase.py:317-327
+        return float(np.mean(self.units) * self.step_ratio)
+
+    @property
+    def n_samples(self) -> int:
+        aabb_diag = float(np.linalg.norm(self.aabb_size))
+        return int(aabb_diag / self.step_size) + 1
+
+    def with_grid(self, grid_size) -> "TensorfConfig":
+        return dataclasses.replace(self, grid_size=tuple(int(g) for g in grid_size))
+
+
+def _linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), dtype, -bound, bound)
+    return w, b
+
+
+def init_mlp(key, cfg: TensorfConfig) -> dict[str, jax.Array]:
+    """MLP_Fea_late_view shading head (ref: models/tensorBase.py:97-135).
+
+    feat(+PE) -> featureC -> featureC, then concat viewdirs(+PE) -> 3.
+    Final bias zero-initialized as in the reference.
+    """
+    in_mlp = 2 * cfg.fea_pe * cfg.app_dim + cfg.app_dim
+    in_view = 2 * cfg.view_pe * 3 + 3
+    k1, k2, k3 = jax.random.split(key, 3)
+    w1, b1 = _linear_init(k1, in_mlp, cfg.feature_c)
+    w2, b2 = _linear_init(k2, cfg.feature_c, cfg.feature_c)
+    w3, b3 = _linear_init(k3, cfg.feature_c + in_view, 3)
+    return {"w1": w1, "b1": b1, "w2": w2, "b2": b2, "w3": w3, "b3": jnp.zeros_like(b3)}
+
+
+def init_tensorf(key, cfg: TensorfConfig) -> dict[str, Any]:
+    """Random init: factor grids 0.1*randn, basis/MLP torch-Linear-style."""
+    keys = jax.random.split(key, 14)
+    params: dict[str, Any] = {}
+    g = cfg.grid_size
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        params[f"density_plane_{i}"] = 0.1 * jax.random.normal(
+            keys[i], (cfg.density_n_comp[i], g[m1], g[m0])
+        )
+        params[f"density_line_{i}"] = 0.1 * jax.random.normal(
+            keys[3 + i], (cfg.density_n_comp[i], g[v])
+        )
+        params[f"app_plane_{i}"] = 0.1 * jax.random.normal(
+            keys[6 + i], (cfg.app_n_comp[i], g[m1], g[m0])
+        )
+        params[f"app_line_{i}"] = 0.1 * jax.random.normal(
+            keys[9 + i], (cfg.app_n_comp[i], g[v])
+        )
+    bound = 1.0 / math.sqrt(sum(cfg.app_n_comp))
+    params["basis_mat"] = jax.random.uniform(
+        keys[12], (sum(cfg.app_n_comp), cfg.app_dim), jnp.float32, -bound, bound
+    )
+    params["mlp"] = init_mlp(keys[13], cfg)
+    return params
+
+
+def normalize_coord(pts: jax.Array, cfg: TensorfConfig) -> jax.Array:
+    """World (contracted) coords -> [-1, 1] grid coords."""
+    aabb_lo = jnp.asarray(cfg.aabb_lo)
+    inv = 2.0 / jnp.asarray(cfg.aabb_size)
+    return (pts - aabb_lo) * inv - 1.0
+
+
+def compute_density_feature(params, pts: jax.Array) -> jax.Array:
+    """Raw density feature at normalized points [P, 3] -> [P].
+
+    feature = sum_planes sum_c plane_c(x_m0, x_m1) * line_c(x_v)
+    (ref: models/tensoRF.py:112-151).
+    """
+    out = 0.0
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        pf = grid_sample_2d(
+            params[f"density_plane_{i}"], pts[:, (m0, m1)]
+        )  # [P, C]
+        lf = grid_sample_1d(params[f"density_line_{i}"], pts[:, v])  # [P, C]
+        out = out + jnp.sum(pf * lf, axis=-1)
+    return out
+
+
+def compute_app_feature(params, pts: jax.Array) -> jax.Array:
+    """Appearance feature at normalized points [P, 3] -> [P, app_dim]."""
+    prods = []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        pf = grid_sample_2d(params[f"app_plane_{i}"], pts[:, (m0, m1)])
+        lf = grid_sample_1d(params[f"app_line_{i}"], pts[:, v])
+        prods.append(pf * lf)
+    feat = jnp.concatenate(prods, axis=-1)  # [P, sum(app_n_comp)]
+    return feat @ params["basis_mat"]
+
+
+def feature2density(feat: jax.Array, cfg: TensorfConfig) -> jax.Array:
+    if cfg.fea2dense_act == "softplus":
+        return jax.nn.softplus(feat + cfg.density_shift)
+    if cfg.fea2dense_act == "relu":
+        return jax.nn.relu(feat)
+    raise ValueError(cfg.fea2dense_act)
+
+
+def apply_mlp(
+    mlp, pts: jax.Array, viewdirs: jax.Array, features: jax.Array, cfg: TensorfConfig,
+    refine=1.0,
+) -> jax.Array:
+    """MLP_Fea_late_view shading. `refine` is a traced 0/1 scalar: during the
+    coarse phase (refine=0) the feature-PE inputs are zeroed, matching the
+    reference's zero-padding branch (ref: models/tensorBase.py:115-135)
+    without retracing when the phase flips."""
+    indata = [features]
+    if cfg.fea_pe > 0:
+        pe = positional_encoding(features, cfg.fea_pe)
+        indata.append(pe * jnp.asarray(refine, pe.dtype))
+    x = jnp.concatenate(indata, axis=-1)
+    x = jax.nn.relu(x @ mlp["w1"] + mlp["b1"])
+    x = jax.nn.relu(x @ mlp["w2"] + mlp["b2"])
+    view_in = [viewdirs]
+    if cfg.view_pe > 0:
+        view_in.append(positional_encoding(viewdirs, cfg.view_pe))
+    x = jnp.concatenate([x] + view_in, axis=-1)
+    rgb = x @ mlp["w3"] + mlp["b3"]
+    return jax.nn.sigmoid(rgb)
+
+
+def sample_alpha(alpha_volume: jax.Array, pts: jax.Array, cfg: TensorfConfig):
+    """Occupancy lookup: trilinear sample of the binary alpha volume at
+    normalized coords (ref: models/tensorBase.py:51-58)."""
+    return grid_sample_3d(alpha_volume, normalize_coord(pts, cfg))
+
+
+# ----------------------------- regularizers -----------------------------
+
+
+def tv_loss_density(params) -> jax.Array:
+    """TV on density planes (1e-2) and lines (1e-3) (ref: tensoRF.py:94-101)."""
+    total = 0.0
+    for i in range(3):
+        plane = params[f"density_plane_{i}"][:, None]  # [C, 1, H, W]
+        line = params[f"density_line_{i}"][:, None, :, None]  # [C, 1, D, 1]
+        total = total + tv_loss(plane) * 1e-2 + tv_loss(line) * 1e-3
+    return total
+
+
+def tv_loss_app(params) -> jax.Array:
+    total = 0.0
+    for i in range(3):
+        plane = params[f"app_plane_{i}"][:, None]
+        line = params[f"app_line_{i}"][:, None, :, None]
+        total = total + tv_loss(plane) * 1e-2 + tv_loss(line) * 1e-3
+    return total
+
+
+def density_l1(params, cfg: TensorfConfig) -> jax.Array:
+    """mean sqrt(density) over the full outer-product grid.
+
+    Reproduces the reference's exact (layout-quirky) accumulation where each
+    plane's [P, D] outer product is flattened in its own axis order before
+    the three are summed elementwise (ref: models/tensoRF.py:83-92). Only
+    ever evaluated at the coarse grid, so materializing is cheap.
+    """
+    n_vox = int(np.prod(cfg.grid_size))
+    sigma_feature = jnp.zeros((n_vox,), jnp.float32)
+    for i in range(3):
+        plane = params[f"density_plane_{i}"].reshape(
+            params[f"density_plane_{i}"].shape[0], -1
+        )  # [C, P]
+        line = params[f"density_line_{i}"]  # [C, D]
+        prod = jnp.einsum("cp,cd->pd", plane, line).reshape(-1)
+        sigma_feature = sigma_feature + prod
+    sigmas = feature2density(sigma_feature, cfg)
+    return jnp.mean(jnp.sqrt(jnp.clip(sigmas, 1e-5, None)))
+
+
+# ----------------------------- upsampling -----------------------------
+
+
+def upsample_tensorf(params, cfg: TensorfConfig, new_grid) -> tuple[dict, TensorfConfig]:
+    """Bilinear align_corners upsample of all factor grids to `new_grid`
+    (ref: models/tensoRF.py:198-233). Returns (new params, new config)."""
+    new_cfg = cfg.with_grid(new_grid)
+    g = new_cfg.grid_size
+    out = dict(params)
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        for kind in ("density", "app"):
+            out[f"{kind}_plane_{i}"] = resize_align_corners_2d(
+                params[f"{kind}_plane_{i}"], g[m1], g[m0]
+            )
+            out[f"{kind}_line_{i}"] = resize_align_corners_1d(
+                params[f"{kind}_line_{i}"], g[v]
+            )
+    return out, new_cfg
+
+
+# ----------------------------- alpha mask -----------------------------
+
+
+def compute_dense_alpha(params, cfg: TensorfConfig, grid_size) -> jax.Array:
+    """Dense alpha at `grid_size` lattice points over the aabb
+    (ref: models/tensorBase.py:501-515). Returns [gx, gy, gz]."""
+    gx, gy, gz = (int(v) for v in grid_size)
+    xs = jnp.linspace(0.0, 1.0, gx)
+    ys = jnp.linspace(0.0, 1.0, gy)
+    zs = jnp.linspace(0.0, 1.0, gz)
+    grid = jnp.stack(jnp.meshgrid(xs, ys, zs, indexing="ij"), axis=-1)
+    aabb = jnp.asarray(cfg.aabb)
+    pts = aabb[0] * (1.0 - grid) + aabb[1] * grid  # [gx, gy, gz, 3]
+    pts_flat = normalize_coord(pts.reshape(-1, 3), cfg)
+    feat = compute_density_feature(params, pts_flat)
+    sigma = feature2density(feat, cfg)
+    alpha = 1.0 - jnp.exp(-sigma * cfg.step_size)
+    return alpha.reshape(gx, gy, gz)
+
+
+def update_alpha_volume(params, cfg: TensorfConfig, grid_size) -> jax.Array:
+    """Binary occupancy volume: dense alpha -> 3x3x3 maxpool -> threshold
+    (ref: models/tensorBase.py:517-536). Returns [gz, gy, gx] float 0/1."""
+    alpha = compute_dense_alpha(params, cfg, grid_size)
+    alpha = jnp.clip(alpha, 0.0, 1.0).transpose(2, 1, 0)  # -> [z, y, x]
+    pooled = jax.lax.reduce_window(
+        alpha,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+    )
+    return (pooled >= cfg.alpha_mask_thres).astype(jnp.float32)

@@ -1,0 +1,118 @@
+"""Pure-XLA grid sampling (align_corners=True, border padding).
+
+TPU-native replacement for the torch `F.grid_sample` calls underpinning the
+reference's factored-grid feature gathers (ref: models/tensoRF.py:135-191)
+and 3D occupancy lookup (ref: models/tensorBase.py:53). These are the
+correctness-oracle implementations; the Pallas kernels in
+`localrf_tpu/ops/pallas/` fuse the same math for the hot path.
+
+Conventions: coordinates are in [-1, 1], `align_corners=True` normalization
+(-1 -> texel 0 center, +1 -> texel N-1 center), out-of-range coordinates are
+clamped (border padding). Outputs are point-major [P, C] to feed the MXU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
+    """[-1, 1] -> [0, size-1] texel space, clamped (border padding)."""
+    x = (coord + 1.0) * 0.5 * (size - 1)
+    return jnp.clip(x, 0.0, size - 1)
+
+
+def grid_sample_1d(line: jax.Array, coords: jax.Array) -> jax.Array:
+    """Linear sampling of a stack of 1D signals.
+
+    line: [C, D]; coords: [P] in [-1, 1]  ->  [P, C].
+    """
+    d = line.shape[1]
+    x = _unnormalize(coords, d)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, d - 1)
+    w1 = (x - x0.astype(x.dtype))[:, None]
+    v0 = jnp.take(line, x0, axis=1).T  # [P, C]
+    v1 = jnp.take(line, x1, axis=1).T
+    return v0 * (1.0 - w1) + v1 * w1
+
+
+def grid_sample_2d(plane: jax.Array, coords: jax.Array) -> jax.Array:
+    """Bilinear sampling of a multi-channel 2D grid.
+
+    plane: [C, H, W]; coords: [P, 2] as (x, y) with x indexing W, y indexing H
+    (torch grid_sample convention)  ->  [P, C].
+    """
+    c, h, w = plane.shape
+    x = _unnormalize(coords[:, 0], w)
+    y = _unnormalize(coords[:, 1], h)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = (x - x0.astype(x.dtype))[:, None]
+    wy = (y - y0.astype(y.dtype))[:, None]
+
+    flat = plane.reshape(c, h * w)
+    i00 = y0 * w + x0
+    i01 = y0 * w + x1
+    i10 = y1 * w + x0
+    i11 = y1 * w + x1
+    v00 = jnp.take(flat, i00, axis=1).T  # [P, C]
+    v01 = jnp.take(flat, i01, axis=1).T
+    v10 = jnp.take(flat, i10, axis=1).T
+    v11 = jnp.take(flat, i11, axis=1).T
+
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
+    """Trilinear sampling of a single-channel 3D volume.
+
+    vol: [D, H, W]; coords: [P, 3] as (x, y, z) with x indexing W, y indexing
+    H, z indexing D (torch grid_sample convention)  ->  [P].
+    """
+    d, h, w = vol.shape
+    x = _unnormalize(coords[:, 0], w)
+    y = _unnormalize(coords[:, 1], h)
+    z = _unnormalize(coords[:, 2], d)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    z1 = jnp.minimum(z0 + 1, d - 1)
+    wx = x - x0.astype(x.dtype)
+    wy = y - y0.astype(y.dtype)
+    wz = z - z0.astype(z.dtype)
+
+    flat = vol.reshape(-1)
+
+    def at(zi, yi, xi):
+        return jnp.take(flat, (zi * h + yi) * w + xi)
+
+    c00 = at(z0, y0, x0) * (1 - wx) + at(z0, y0, x1) * wx
+    c01 = at(z0, y1, x0) * (1 - wx) + at(z0, y1, x1) * wx
+    c10 = at(z1, y0, x0) * (1 - wx) + at(z1, y0, x1) * wx
+    c11 = at(z1, y1, x0) * (1 - wx) + at(z1, y1, x1) * wx
+    c0 = c00 * (1 - wy) + c01 * wy
+    c1 = c10 * (1 - wy) + c11 * wy
+    return c0 * (1 - wz) + c1 * wz
+
+
+def resize_align_corners_2d(plane: jax.Array, new_h: int, new_w: int) -> jax.Array:
+    """Bilinear resize with align_corners=True semantics. plane: [C, H, W]."""
+    ys = jnp.linspace(-1.0, 1.0, new_h)
+    xs = jnp.linspace(-1.0, 1.0, new_w)
+    gx, gy = jnp.meshgrid(xs, ys)  # [new_h, new_w]
+    coords = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+    out = grid_sample_2d(plane, coords)  # [new_h*new_w, C]
+    return out.T.reshape(plane.shape[0], new_h, new_w)
+
+
+def resize_align_corners_1d(line: jax.Array, new_d: int) -> jax.Array:
+    """Linear resize with align_corners=True semantics. line: [C, D]."""
+    coords = jnp.linspace(-1.0, 1.0, new_d)
+    return grid_sample_1d(line, coords).T  # [C, new_d]

@@ -1,0 +1,86 @@
+"""Parity tests: XLA grid sampling vs torch.nn.functional.grid_sample
+(align_corners=True, border padding) — the exact op the reference relies on."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from localrf_tpu.ops import grid as lg
+
+
+def test_grid_sample_2d_matches_torch(rng):
+    c, h, w, p = 8, 37, 53, 501
+    plane = rng.normal(size=(c, h, w)).astype(np.float32)
+    coords = rng.uniform(-1.3, 1.3, (p, 2)).astype(np.float32)  # incl. out of range
+
+    ours = np.asarray(lg.grid_sample_2d(jnp.asarray(plane), jnp.asarray(coords)))
+
+    ref = F.grid_sample(
+        torch.from_numpy(plane)[None],
+        torch.from_numpy(coords).view(1, -1, 1, 2),
+        align_corners=True,
+        padding_mode="border",
+    ).numpy()[0, :, :, 0].T  # [P, C]
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_1d_matches_torch(rng):
+    c, d, p = 24, 129, 401
+    line = rng.normal(size=(c, d)).astype(np.float32)
+    coords = rng.uniform(-1.2, 1.2, (p,)).astype(np.float32)
+
+    ours = np.asarray(lg.grid_sample_1d(jnp.asarray(line), jnp.asarray(coords)))
+
+    # reference samples lines as [1, C, D, 1] grids at (x=0, y=coord)
+    grid = torch.stack(
+        [torch.zeros(p), torch.from_numpy(coords)], dim=-1
+    ).view(1, -1, 1, 2)
+    ref = F.grid_sample(
+        torch.from_numpy(line)[None, :, :, None],
+        grid,
+        align_corners=True,
+        padding_mode="border",
+    ).numpy()[0, :, :, 0].T
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_3d_matches_torch(rng):
+    d, h, w, p = 19, 23, 29, 301
+    vol = rng.uniform(0, 1, (d, h, w)).astype(np.float32)
+    coords = rng.uniform(-1.2, 1.2, (p, 3)).astype(np.float32)
+
+    ours = np.asarray(lg.grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords)))
+
+    ref = F.grid_sample(
+        torch.from_numpy(vol)[None, None],
+        torch.from_numpy(coords).view(1, -1, 1, 1, 3),
+        align_corners=True,
+        padding_mode="border",
+    ).numpy().reshape(-1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_2d_matches_torch_interpolate(rng):
+    c, h, w = 8, 21, 17
+    plane = rng.normal(size=(c, h, w)).astype(np.float32)
+    nh, nw = 47, 33
+    ours = np.asarray(lg.resize_align_corners_2d(jnp.asarray(plane), nh, nw))
+    ref = F.interpolate(
+        torch.from_numpy(plane)[None], size=(nh, nw), mode="bilinear", align_corners=True
+    ).numpy()[0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_1d_matches_torch_interpolate(rng):
+    c, d = 8, 33
+    line = rng.normal(size=(c, d)).astype(np.float32)
+    nd = 77
+    ours = np.asarray(lg.resize_align_corners_1d(jnp.asarray(line), nd))
+    ref = F.interpolate(
+        torch.from_numpy(line)[None, :, :, None],
+        size=(nd, 1),
+        mode="bilinear",
+        align_corners=True,
+    ).numpy()[0, :, :, 0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
