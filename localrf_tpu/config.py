@@ -1,0 +1,138 @@
+"""CLI / config-file flag surface (ref: opt.py:6-201).
+
+Same ~60 flags, same defaults, same `--config` file support (simple
+`key = value` format compatible with the reference's configargparse files),
+without the configargparse dependency.
+"""
+from __future__ import annotations
+
+import argparse
+import shlex
+
+
+def _add_config_file_args(argv: list[str]) -> list[str]:
+    """Expand `--config file` into its `key = value` lines (CLI wins)."""
+    if "--config" not in argv:
+        return argv
+    i = argv.index("--config")
+    path = argv[i + 1]
+    rest = argv[:i] + argv[i + 2 :]
+    file_args: list[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                key, val = (p.strip() for p in line.split("=", 1))
+            else:
+                parts = line.split(None, 1)
+                key, val = parts[0], parts[1] if len(parts) > 1 else ""
+            vals = shlex.split(val)
+            vals = [v for v in vals if v not in ("[", "]")]
+            vals = [v.strip("[],") for v in vals]
+            file_args += [f"--{key}"] + vals
+    # file args first so explicit CLI flags override them
+    return file_args + rest
+
+
+def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None, help="config file path")
+    parser.add_argument("--logdir", type=str, default="./log")
+    parser.add_argument("--datadir", type=str, default="./data/llff/fern")
+    parser.add_argument("--progress_refresh_rate", type=int, default=200)
+    parser.add_argument("--downsampling", type=float, default=-1)
+    parser.add_argument(
+        "--model_name", type=str, default="TensorVMSplit", choices=["TensorVMSplit"]
+    )
+    # loader
+    parser.add_argument("--batch_size", type=int, default=4096)
+    parser.add_argument("--n_views", type=int, default=16)
+    # learning rates
+    parser.add_argument("--lr_R_init", type=float, default=5e-3)
+    parser.add_argument("--lr_t_init", type=float, default=5e-4)
+    parser.add_argument("--lr_i_init", type=float, default=0)
+    parser.add_argument("--lr_exposure_init", type=float, default=1e-3)
+    parser.add_argument("--lr_init", type=float, default=0.02)
+    parser.add_argument("--lr_basis", type=float, default=1e-3)
+    parser.add_argument("--lr_decay_target_ratio", type=float, default=0.1)
+    parser.add_argument("--lr_upsample_reset", type=int, default=1)
+    # scheduling
+    parser.add_argument("--N_voxel_init", type=int, default=64**3)
+    parser.add_argument("--N_voxel_final", type=int, default=640**3)
+    parser.add_argument("--n_iters_per_frame", type=int, default=600)
+    parser.add_argument("--n_iters_reg", type=int, default=100)
+    parser.add_argument(
+        "--upsamp_list", type=int, default=[100, 150, 200, 250, 300], nargs="+"
+    )
+    parser.add_argument(
+        "--update_AlphaMask_list", type=int, default=[100, 200, 300], nargs="+"
+    )
+    parser.add_argument("--refinement_speedup_factor", type=float, default=1.0)
+    # progressive optimization
+    parser.add_argument("--n_init_frames", type=int, default=5)
+    parser.add_argument("--max_drift", type=float, default=1)
+    parser.add_argument("--n_max_frames", type=int, default=100)
+    parser.add_argument("--add_frames_every", type=int, default=100)
+    parser.add_argument("--n_overlap", type=int, default=30)
+    parser.add_argument("--prog_speedup_factor", type=float, default=1.0)
+    # losses
+    parser.add_argument("--loss_depth_weight_inital", type=float, default=0.1)
+    parser.add_argument("--loss_flow_weight_inital", type=float, default=1)
+    parser.add_argument("--L1_weight", type=float, default=1e-2)
+    parser.add_argument("--TV_weight_density", type=float, default=0.0)
+    parser.add_argument("--TV_weight_app", type=float, default=0.0)
+    # model
+    parser.add_argument("--n_lamb_sigma", type=int, default=[8, 8, 8], nargs="+")
+    parser.add_argument("--n_lamb_sh", type=int, default=[24, 24, 24], nargs="+")
+    parser.add_argument("--data_dim_color", type=int, default=27)
+    parser.add_argument("--rm_weight_mask_thre", type=float, default=0.001)
+    parser.add_argument("--alpha_mask_thre", type=float, default=0.0001)
+    parser.add_argument("--distance_scale", type=float, default=25)
+    parser.add_argument("--density_shift", type=float, default=-5)
+    # network decoder
+    parser.add_argument("--shadingMode", type=str, default="MLP_Fea_late_view")
+    parser.add_argument("--pos_pe", type=int, default=0)
+    parser.add_argument("--view_pe", type=int, default=0)
+    parser.add_argument("--fea_pe", type=int, default=0)
+    parser.add_argument("--featureC", type=int, default=128)
+    # ckpt / render
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--render_only", type=int, default=0)
+    parser.add_argument("--render_test", type=int, default=1)
+    parser.add_argument("--render_path", type=int, default=1)
+    parser.add_argument("--render_from_file", type=str, default="")
+    parser.add_argument("--skip_saving_video", action="store_true")
+    parser.add_argument("--skip_TB_images", action="store_true")
+    # rendering
+    parser.add_argument("--fea2denseAct", type=str, default="softplus")
+    parser.add_argument("--nSamples", type=int, default=int(1e6))
+    parser.add_argument("--step_ratio", type=float, default=0.5)
+    # camera
+    parser.add_argument("--fov", type=float, default=85.6)
+    parser.add_argument("--with_preprocessed_poses", type=int, default=0)
+    parser.add_argument("--subsequence", default=[0, -1], type=int, nargs=2)
+    parser.add_argument("--frame_step", type=int, default=1)
+    parser.add_argument("--test_frame_every", default=10, type=int)
+    # logging
+    parser.add_argument("--vis_every", type=int, default=10000)
+    parser.add_argument("--device", type=str, default="tpu")
+    # TPU-native extras
+    parser.add_argument(
+        "--use_pallas", type=int, default=1,
+        help="use fused Pallas kernels on TPU (0 = pure-XLA reference path)",
+    )
+    parser.add_argument(
+        "--data_parallel", type=int, default=0,
+        help="shard the ray batch over this many devices (0 = all available)",
+    )
+
+    if cmd is not None:
+        argv = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
+    else:
+        import sys
+
+        argv = sys.argv[1:]
+    argv = _add_config_file_args(argv)
+    return parser.parse_args(argv)

@@ -1,0 +1,611 @@
+"""LocalTensorfs: host-side progressive manager over jitted device steps.
+
+TPU re-design of the reference's `LocalTensorfs(torch.nn.Module)`
+(ref: local_tensorfs.py:31-498). All trainable state lives in device pytrees
+(a sliding pose window + the active field); the manager is a pure-host state
+machine that:
+
+  * appends frames / local fields (ref: local_tensorfs.py:116-177) by writing
+    into stacked arrays — no module mutation, no retraces between events;
+  * drives the jitted `train_step` with dynamic scalars (lr factor, refine /
+    regularize flags, gates) so phase flips never recompile;
+  * applies coarse-to-fine upsampling + alpha-mask refresh between steps
+    (ref: local_tensorfs.py:250-266) — one compile bucket per grid stage,
+    cached across all local fields;
+  * keeps retired fields as host (CPU) pytrees, mirroring the reference's
+    CPU offload (ref: local_tensorfs.py:132), and blends them at eval.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.math import mtx_to_sixD, n_to_reso, sixD_to_mtx
+from ..optim import AdamState, PyTreeAdamState, adam_init, pytree_adam_init
+from .step import (
+    FieldState,
+    IntrState,
+    PoseState,
+    StepStatics,
+    cam2world_from_params,
+    render_chunk,
+    train_step,
+    train_step_poses_only,
+)
+from .tensorf import TensorfConfig, init_tensorf, update_alpha_volume, upsample_tensorf
+
+
+@dataclasses.dataclass
+class LocalConfig:
+    """Configuration for the progressive multi-field model (mirrors the
+    reference's LocalTensorfs kwargs, ref: local_tensorfs.py:36-57)."""
+
+    fov: float = 85.6
+    n_init_frames: int = 5
+    n_overlap: int = 30
+    WH: tuple[int, int] = (960, 540)
+    n_iters_per_frame: int = 600
+    n_iters_reg: int = 100
+    lr_R_init: float = 5e-3
+    lr_t_init: float = 5e-4
+    lr_i_init: float = 0.0
+    lr_exposure_init: float = 1e-3
+    rf_lr_init: float = 0.02
+    rf_lr_basis: float = 1e-3
+    lr_decay_target_ratio: float = 0.1
+    N_voxel_list: dict[int, int] = dataclasses.field(default_factory=dict)
+    update_AlphaMask_list: list[int] = dataclasses.field(default_factory=list)
+    lr_upsample_reset: bool = True
+    # loss config
+    loss_flow_weight: float = 1.0
+    loss_depth_weight: float = 0.1
+    tv_weight_density: float = 0.0
+    tv_weight_app: float = 0.0
+    l1_weight: float = 1e-2
+    # batch shape
+    n_views: int = 16
+    batch_size: int = 4096
+    # field template (grid_size = initial resolution for every new field)
+    tensorf: TensorfConfig = dataclasses.field(
+        default_factory=lambda: TensorfConfig(grid_size=(64, 64, 64))
+    )
+    seed: int = 20211202
+
+    @property
+    def px_per_view(self) -> int:
+        return self.batch_size // self.n_views
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class LocalTensorfs:
+    def __init__(self, cfg: LocalConfig, camera_prior: dict | None = None):
+        self.cfg = cfg
+        self.camera_prior = camera_prior
+        self.W, self.H = cfg.WH
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+        # --- per-frame host state (full history) ---
+        self.r_all = np.zeros((0, 3, 2), np.float32)
+        self.t_all = np.zeros((0, 3), np.float32)
+        self.exp_all = np.zeros((0, 3, 3), np.float32)
+        self.pose_opt_all: dict[str, np.ndarray] = {}  # moments/step/lr, [N,...]
+        self.pose_linked_rf: list[int] = []
+        self.blending_weights = np.ones((0, 1), np.float32)
+
+        # --- per-field state ---
+        self.fields: list[dict[str, Any]] = []  # params/cfg/alpha/opt (host or dev)
+        self.world2rf: list[np.ndarray] = []
+        self.rf_iter: list[int] = []
+
+        # --- schedule state (ref: local_tensorfs.py:74-83) ---
+        self.is_refining = False
+        self.lr_factor = 1.0
+        self.n_iters = cfg.n_iters_per_frame
+        self.n_iters_reg = cfg.n_iters_reg
+        self.N_voxel_list = dict(cfg.N_voxel_list)
+        self.update_AlphaMask_list = list(cfg.update_AlphaMask_list)
+
+        # --- intrinsics ---
+        if camera_prior is not None:
+            focal = camera_prior["transforms"]["fl_x"]
+            focal *= self.W / camera_prior["transforms"]["w"]
+        else:
+            fov_rad = cfg.fov * math.pi / 180
+            focal = self.W / math.tan(fov_rad / 2) / 2
+        self.init_focal = float(focal)
+        intr_params = {
+            "focal_offset": jnp.ones(()),
+            "center_rel": 0.5 * jnp.ones((2,)),
+        }
+        self.intr = IntrState(intr_params, pytree_adam_init(intr_params))
+
+        # --- device pose window ---
+        self.win_start = 0
+        self._wc = 64  # capacity; grows in steps of 32
+        self._pose_dev: PoseState | None = None
+
+        for _ in range(cfg.n_init_frames):
+            self.append_frame()
+
+        self.append_rf()
+
+    # ------------------------------------------------------------------
+    # window plumbing
+    # ------------------------------------------------------------------
+
+    @property
+    def n_frames(self) -> int:
+        return self.r_all.shape[0]
+
+    @property
+    def win_len(self) -> int:
+        return self.n_frames - self.win_start
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _init_pose_opt_rows(self, n: int) -> dict[str, np.ndarray]:
+        c = self.cfg
+        return {
+            "r_m": np.zeros((n, 3, 2), np.float32),
+            "r_v": np.zeros((n, 3, 2), np.float32),
+            "r_step": np.zeros((n,), np.int32),
+            "r_lr": np.full((n,), c.lr_R_init, np.float32),
+            "t_m": np.zeros((n, 3), np.float32),
+            "t_v": np.zeros((n, 3), np.float32),
+            "t_step": np.zeros((n,), np.int32),
+            "t_lr": np.full((n,), c.lr_t_init, np.float32),
+            "e_m": np.zeros((n, 3, 3), np.float32),
+            "e_v": np.zeros((n, 3, 3), np.float32),
+            "e_step": np.zeros((n,), np.int32),
+            "e_lr": np.full((n,), c.lr_exposure_init, np.float32),
+        }
+
+    def sync_window_to_host(self):
+        """Pull the device pose window back into the full host arrays."""
+        if self._pose_dev is None:
+            return
+        s, l = self.win_start, self.win_len
+        p = jax.device_get(self._pose_dev)
+        self.r_all[s : s + l] = p.r[:l]
+        self.t_all[s : s + l] = p.t[:l]
+        self.exp_all[s : s + l] = p.exposure[:l]
+        o = self.pose_opt_all
+        for name, st in (("r", p.r_opt), ("t", p.t_opt), ("e", p.e_opt)):
+            o[f"{name}_m"][s : s + l] = st.m[:l]
+            o[f"{name}_v"][s : s + l] = st.v[:l]
+            o[f"{name}_step"][s : s + l] = st.step[:l]
+            o[f"{name}_lr"][s : s + l] = st.lr[:l]
+
+    def _build_window(self):
+        """(Re)build the device pose window [win_start, n_frames) padded to
+        capacity."""
+        s, l = self.win_start, self.win_len
+        while l > self._wc:
+            self._wc += 32
+        wc = self._wc
+
+        def pad(a: np.ndarray) -> np.ndarray:
+            out = np.zeros((wc,) + a.shape[1:], a.dtype)
+            out[:l] = a[s : s + l]
+            if a.ndim == 3 and a.shape[1:] == (3, 3):
+                out[l:] = np.eye(3, dtype=a.dtype)  # keep padding exposures sane
+            return out
+
+        o = self.pose_opt_all
+
+        def adam(name) -> AdamState:
+            return AdamState(
+                jnp.asarray(pad(o[f"{name}_m"])),
+                jnp.asarray(pad(o[f"{name}_v"])),
+                jnp.asarray(pad(o[f"{name}_step"])),
+                jnp.asarray(pad(o[f"{name}_lr"])),
+            )
+
+        self._pose_dev = PoseState(
+            r=jnp.asarray(pad(self.r_all)),
+            t=jnp.asarray(pad(self.t_all)),
+            exposure=jnp.asarray(pad(self.exp_all)),
+            r_opt=adam("r"),
+            t_opt=adam("t"),
+            e_opt=adam("e"),
+        )
+
+    def set_window_start(self, start: int):
+        """Slide the window after frames are deactivated. The window keeps one
+        frame before the first active frame for bwd-flow supervision
+        (ref: train.py:388)."""
+        start = max(start - 1, 0)
+        if start != self.win_start:
+            self.sync_window_to_host()
+            self.win_start = start
+            self._build_window()
+
+    def _gate(self) -> np.ndarray:
+        """Per-window-frame bool: pose/exposure updates only for frames linked
+        to the current field while it still trains
+        (ref: local_tensorfs.py:210-211)."""
+        cur = len(self.rf_iter) - 1
+        gate = np.zeros((self._wc,), bool)
+        if self.rf_iter[-1] < self.n_iters:
+            for i in range(self.win_len):
+                if self.pose_linked_rf[self.win_start + i] == cur:
+                    gate[i] = True
+        return gate
+
+    # ------------------------------------------------------------------
+    # progressive growth (ref: local_tensorfs.py:116-177)
+    # ------------------------------------------------------------------
+
+    def append_frame(self):
+        self.sync_window_to_host()
+        if self.n_frames == 0:
+            r = np.eye(3, dtype=np.float32)[:, :2][None]
+            t = np.zeros((1, 3), np.float32)
+            self.pose_linked_rf.append(0)
+            self.blending_weights = np.ones((1, 1), np.float32)
+        else:
+            r_last = np.asarray(
+                mtx_to_sixD(sixD_to_mtx(jnp.asarray(self.r_all[-1:])))
+            )
+            r = r_last
+            t = self.t_all[-1:].copy()
+            self.blending_weights = np.concatenate(
+                [self.blending_weights, self.blending_weights[-1:, :]], axis=0
+            )
+            rf_ind = int(np.nonzero(self.blending_weights[-1, :])[0][0])
+            self.pose_linked_rf.append(rf_ind)
+
+        exp = np.eye(3, dtype=np.float32)[None]
+
+        if self.camera_prior is not None:
+            idx = self.n_frames
+            rel_pose = np.asarray(self.camera_prior["rel_poses"][idx], np.float32)
+            last_r = np.asarray(sixD_to_mtx(jnp.asarray(r)))[0]
+            r = np.asarray(
+                mtx_to_sixD(jnp.asarray((last_r @ rel_pose[:3, :3])[None]))
+            )
+            t = t + (last_r @ rel_pose[:3, 3])[None]
+
+        self.r_all = np.concatenate([self.r_all, r], axis=0)
+        self.t_all = np.concatenate([self.t_all, t], axis=0)
+        self.exp_all = np.concatenate([self.exp_all, exp], axis=0)
+        rows = self._init_pose_opt_rows(1)
+        if not self.pose_opt_all:
+            self.pose_opt_all = rows
+        else:
+            for k in rows:
+                self.pose_opt_all[k] = np.concatenate(
+                    [self.pose_opt_all[k], rows[k]], axis=0
+                )
+        self._build_window()
+
+    def append_rf(self, n_added_frames: int = 1):
+        self.sync_window_to_host()
+        self.is_refining = False
+        if len(self.fields) > 0:
+            n_overlap = min(
+                n_added_frames, self.cfg.n_overlap, self.blending_weights.shape[0] - 1
+            )
+            weights_overlap = 1 / n_overlap + np.arange(0, 1, 1 / n_overlap)
+            self.blending_weights[-n_overlap:, -1] = 1 - weights_overlap
+            new_col = np.zeros_like(self.blending_weights[:, 0:1])
+            new_col[-n_overlap:, 0] = weights_overlap
+            self.blending_weights = np.concatenate(
+                [self.blending_weights, new_col], axis=1
+            )
+            world2rf = -self.t_all[-1].copy()
+            # offload the previous field to host memory
+            prev = self.fields[-1]
+            prev["params"] = jax.device_get(prev["params"])
+            prev["opt"] = None
+        else:
+            world2rf = np.zeros(3, np.float32)
+
+        tf_cfg = self.cfg.tensorf
+        params = init_tensorf(self._next_key(), tf_cfg)
+        self.fields.append(
+            {
+                "params": params,
+                "cfg": tf_cfg,
+                "alpha_volume": None,
+                "opt": pytree_adam_init(params),
+            }
+        )
+        self.world2rf.append(np.asarray(world2rf, np.float32))
+        self.rf_iter.append(0)
+
+    # ------------------------------------------------------------------
+    # optimization (ref: local_tensorfs.py:179-290)
+    # ------------------------------------------------------------------
+
+    def _statics(self, optimize_poses: bool) -> StepStatics:
+        c = self.cfg
+        f = self.fields[-1]
+        return StepStatics(
+            cfg=f["cfg"],
+            w=self.W,
+            h=self.H,
+            n_views=c.n_views,
+            px_per_view=c.px_per_view,
+            wc=self._wc,
+            fov360=(c.fov == 360),
+            white_bg=True,
+            optimize_poses=optimize_poses,
+            exposure_on=c.lr_exposure_init > 0,
+            intrinsics_on=c.lr_i_init > 0,
+            flow_on=c.loss_flow_weight > 0 and c.fov != 360,
+            depth_on=c.loss_depth_weight > 0 and c.fov != 360,
+            has_alpha=f["alpha_volume"] is not None,
+            flow_weight=c.loss_flow_weight,
+            depth_weight=c.loss_depth_weight,
+            lr_spatial=c.rf_lr_init,
+            lr_net=c.rf_lr_basis,
+        )
+
+    def _scalars(self) -> dict[str, Any]:
+        c = self.cfg
+        it = self.rf_iter[-1]
+        regularize = it < self.n_iters_reg
+        reg_w = self.lr_factor**it
+        reg_on = regularize and it < self.n_iters
+        return {
+            "init_focal": jnp.asarray(self.init_focal, jnp.float32),
+            "w_scale": jnp.asarray(1.0, jnp.float32),
+            "world2rf": jnp.asarray(self.world2rf[-1]),
+            "n_valid": jnp.asarray(self.win_len, jnp.int32),
+            "lr_factor": jnp.asarray(self.lr_factor, jnp.float32),
+            "reg_w": jnp.asarray(reg_w, jnp.float32),
+            "reg_flag": jnp.asarray(1.0 if regularize else 0.0, jnp.float32),
+            "refine": jnp.asarray(1.0 if self.is_refining else 0.0, jnp.float32),
+            "is_refining": jnp.asarray(1.0 if self.is_refining else 0.0),
+            "is_first_rf": jnp.asarray(
+                1.0 if self.blending_weights.shape[1] == 1 else 0.0
+            ),
+            "tv_wd": jnp.asarray(
+                c.tv_weight_density * reg_w if reg_on else 0.0, jnp.float32
+            ),
+            "tv_wa": jnp.asarray(
+                c.tv_weight_app * reg_w if reg_on else 0.0, jnp.float32
+            ),
+            "l1_w": jnp.asarray(c.l1_weight if reg_on else 0.0, jnp.float32),
+            "lr_i_base": jnp.asarray(c.lr_i_init, jnp.float32),
+        }
+
+    def _device_batch(self, batch: dict) -> dict:
+        """Host batch -> device arrays with window-relative view ids."""
+        view_rel = np.asarray(batch["view_ids"], np.int64) - self.win_start
+        out = {
+            "ray_idx": jnp.asarray(np.asarray(batch["idx"], np.int32)),
+            "view_ids": jnp.asarray(view_rel.astype(np.int32)),
+            "rgbs": jnp.asarray(batch["rgbs"], jnp.float32),
+            "loss_weights": jnp.asarray(
+                np.asarray(batch["loss_weights"], np.float32).reshape(-1, 1)
+            ),
+            "gate": jnp.asarray(self._gate()),
+        }
+        for k in ("fwd_flow", "bwd_flow"):
+            if batch.get(k) is not None:
+                out[k] = jnp.asarray(batch[k], jnp.float32)
+        for k in ("fwd_mask", "bwd_mask", "invdepths"):
+            if batch.get(k) is not None:
+                out[k] = jnp.asarray(
+                    np.asarray(batch[k], np.float32).reshape(-1)
+                )
+        return out
+
+    def optimizer_step(self, batch: dict, optimize_poses: bool) -> bool:
+        """One joint step; returns can_add_rf (ref: local_tensorfs.py:193-290)."""
+        c = self.cfg
+        if self.rf_iter[-1] == 0:
+            self.lr_factor = 1.0
+            self.n_iters = c.n_iters_per_frame
+            self.n_iters_reg = c.n_iters_reg
+        elif self.rf_iter[-1] == 1:
+            n_training_frames = int((self.blending_weights[:, -1] > 0).sum())
+            self.n_iters = int(c.n_iters_per_frame * n_training_frames)
+            self.n_iters_reg = int(c.n_iters_reg * n_training_frames)
+            self.lr_factor = c.lr_decay_target_ratio ** (1 / self.n_iters)
+            self.N_voxel_list = {
+                int(k * n_training_frames): v for k, v in c.N_voxel_list.items()
+            }
+            self.update_AlphaMask_list = [
+                int(u * n_training_frames) for u in c.update_AlphaMask_list
+            ]
+
+        f = self.fields[-1]
+        statics = self._statics(optimize_poses)
+        field_state = FieldState(f["params"], f["opt"])
+        new_field, new_pose, new_intr, metrics = train_step(
+            field_state,
+            self._pose_dev,
+            self.intr,
+            self._device_batch(batch),
+            self._scalars(),
+            statics,
+            self._next_key(),
+            f["alpha_volume"],
+        )
+        f["params"], f["opt"] = new_field.params, new_field.opt
+        self._pose_dev = new_pose
+        self.intr = new_intr
+        self.last_metrics = {k: float(v) for k, v in metrics.items()}
+
+        # coarse-to-fine upsample (ref: local_tensorfs.py:250-261)
+        if self.rf_iter[-1] in self.N_voxel_list:
+            n_vox = self.N_voxel_list[self.rf_iter[-1]]
+            reso = n_to_reso(n_vox, f["cfg"].aabb)
+            f["params"], f["cfg"] = upsample_tensorf(f["params"], f["cfg"], reso)
+            if c.lr_upsample_reset:
+                f["opt"] = pytree_adam_init(f["params"])
+            else:
+                f["opt"] = pytree_adam_init(f["params"])._replace(
+                    lr_scale=f["opt"].lr_scale
+                )
+
+        # occupancy refresh (ref: local_tensorfs.py:264-266)
+        if self.rf_iter[-1] in self.update_AlphaMask_list:
+            reso_mask = tuple(int(g / 2) for g in f["cfg"].grid_size)
+            f["alpha_volume"] = update_alpha_volume(f["params"], f["cfg"], reso_mask)
+
+        if self.is_refining:
+            self.rf_iter[-1] += 1
+
+        return self.rf_iter[-1] >= self.n_iters - 1
+
+    def optimizer_step_poses_only(self, batch: dict):
+        """Test-pose photometric refinement (ref: local_tensorfs.py:179-191)."""
+        f = self.fields[-1]
+        statics = self._statics(optimize_poses=True)
+        field_state = FieldState(f["params"], f["opt"])
+        _, new_pose, _, metrics = train_step_poses_only(
+            field_state,
+            self._pose_dev,
+            self.intr,
+            self._device_batch(batch),
+            self._scalars(),
+            statics,
+            self._next_key(),
+            f["alpha_volume"],
+        )
+        self._pose_dev = new_pose
+        self.last_metrics = {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    def get_cam2world(self, view_ids=None, starting_id: int = 0) -> np.ndarray:
+        self.sync_window_to_host()
+        r = jnp.asarray(self.r_all)
+        t = jnp.asarray(self.t_all)
+        c2w = np.asarray(cam2world_from_params(r, t))
+        if view_ids is not None:
+            return c2w[np.asarray(view_ids)]
+        return c2w[starting_id:]
+
+    def get_dist_to_last_rf(self) -> float:
+        t_last = np.asarray(jax.device_get(self._pose_dev.t[self.win_len - 1]))
+        return float(np.linalg.norm(t_last + self.world2rf[-1]))
+
+    def focal(self, w: int) -> float:
+        off = float(jax.device_get(self.intr.params["focal_offset"]))
+        return self.init_focal * off * w / self.W
+
+    def center(self, w: int, h: int) -> np.ndarray:
+        rel = np.asarray(jax.device_get(self.intr.params["center_rel"]))
+        return np.array([w, h], np.float32) * rel
+
+    # ------------------------------------------------------------------
+    # evaluation forward: blend all fields with nonzero weight
+    # (ref: local_tensorfs.py:382-498, is_train=False branch)
+    # ------------------------------------------------------------------
+
+    def forward_eval(
+        self,
+        ray_ids: np.ndarray,
+        view_ids: np.ndarray,
+        w: int,
+        h: int,
+        cam2world: np.ndarray | None = None,
+        world2rf: list[np.ndarray] | None = None,
+        blending_weights: np.ndarray | None = None,
+        chunk: int = 16384,
+        test_id: bool = False,
+        floater_thresh: float = 0.0,
+    ):
+        self.sync_window_to_host()
+        if blending_weights is None:
+            blending_weights = self.blending_weights[np.asarray(view_ids)]
+        if cam2world is None:
+            cam2world = self.get_cam2world(view_ids)
+        if world2rf is None:
+            world2rf = self.world2rf
+
+        active_rf_ids = [
+            int(i) for i in np.nonzero(blending_weights.sum(axis=0))[0]
+        ]
+        if not active_rf_ids:
+            raise RuntimeError("No valid field for the requested views")
+
+        focal = self.focal(w)
+        center = self.center(w, h)
+
+        n_rays = ray_ids.shape[0]
+        rays_per_view = n_rays // len(view_ids)
+        chunk = max(chunk // len(active_rf_ids), 1)
+        rgbs = np.zeros((n_rays, 3), np.float32)
+        depths = np.zeros((n_rays,), np.float32)
+        bw_exp = np.repeat(blending_weights, rays_per_view, axis=0)
+        c2w_exp = np.repeat(cam2world, rays_per_view, axis=0)
+
+        n_chunks = (n_rays + chunk - 1) // chunk
+        for ci in range(n_chunks):
+            sl = slice(ci * chunk, min((ci + 1) * chunk, n_rays))
+            ids_c = np.asarray(ray_ids[sl], np.int32)
+            pad = 0
+            if ids_c.shape[0] < chunk:  # pad to keep one compile bucket
+                pad = chunk - ids_c.shape[0]
+                ids_c = np.concatenate([ids_c, np.zeros(pad, np.int32)])
+            for rf_id in active_rf_ids:
+                f = self.fields[rf_id]
+                params = jax.tree.map(jnp.asarray, f["params"])
+                cam2rf = c2w_exp[sl].copy()
+                cam2rf[:, :3, 3] += world2rf[rf_id]
+                if pad:
+                    cam2rf = np.concatenate(
+                        [cam2rf, np.repeat(cam2rf[-1:], pad, axis=0)]
+                    )
+                rgb, depth, _, _ = render_chunk(
+                    params,
+                    f["cfg"],
+                    jnp.asarray(ids_c),
+                    jnp.asarray(cam2rf),
+                    jnp.asarray(focal, jnp.float32),
+                    jnp.asarray(center),
+                    w=w,
+                    h=h,
+                    floater_thresh=floater_thresh,
+                    alpha_volume=f["alpha_volume"],
+                )
+                rgb = np.asarray(rgb)[: sl.stop - sl.start]
+                depth = np.asarray(depth)[: sl.stop - sl.start]
+                wgt = bw_exp[sl, rf_id]
+                rgbs[sl] += rgb * wgt[:, None]
+                depths[sl] += depth * wgt
+
+        if self.cfg.lr_exposure_init > 0:
+            n = self.n_frames
+            v = np.asarray(view_ids)
+            if test_id:
+                v_m = np.maximum(v - 1, 0)
+                v_m = np.where(v_m == v, 1, v_m)
+                v_p = np.minimum(v + 1, n - 1)
+                exposure = (self.exp_all[v_m] + self.exp_all[v_p]) / 2
+            else:
+                exposure = self.exp_all[v]
+            exposure = np.repeat(exposure, rays_per_view, axis=0)
+            rgbs = np.einsum("bij,bj->bi", exposure, rgbs)
+        rgbs = np.clip(rgbs, 0, 1)
+
+        i = np.asarray(ray_ids) % w
+        j = (np.asarray(ray_ids) // w) % h
+        directions = np.stack(
+            [
+                (i + 0.5 - center[0]) / focal,
+                -(j + 0.5 - center[1]) / focal,
+                -np.ones_like(i, np.float32),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        ij = np.stack([i, j], axis=-1)
+        return rgbs, depths, directions, ij

@@ -1,0 +1,467 @@
+"""Training driver: progressive reconstruction + render-only entry.
+
+Mirrors the reference's `reconstruction(args)` state machine
+(ref: train.py:206-642): speedup-factor rescaling, dataset/model init,
+the sample -> step -> losses -> progressive-events loop, TensorBoard
+logging, periodic eval + tmp checkpoints, and final render outputs
+(`transforms.json`, test renders, smoothed-spline path videos).
+
+Run:  python -m localrf_tpu.train --datadir <scene> --logdir <out> [--config f]
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .config import config_parser
+from .data.dataset import LocalRFDataset
+from .models.local import LocalConfig, LocalTensorfs
+from .models.tensorf import TensorfConfig
+from .ops.math import n_to_reso
+from .renderer import render
+from .utils.spline import smooth_poses_spline
+
+
+def save_transforms(poses_mtx, transform_path, local_tensorfs, train_dataset=None):
+    """NeRF-style transforms.json export (ref: train.py:29-60)."""
+    if train_dataset is not None:
+        fnames = train_dataset.all_image_paths
+    else:
+        fnames = [f"{i:06d}.jpg" for i in range(len(poses_mtx))]
+
+    fl = local_tensorfs.focal(local_tensorfs.W)
+    transforms = {
+        "fl_x": float(fl),
+        "fl_y": float(fl),
+        "k1": 0.0,
+        "k2": 0.0,
+        "p1": 0.0,
+        "p2": 0.0,
+        "cx": local_tensorfs.W / 2,
+        "cy": local_tensorfs.H / 2,
+        "w": local_tensorfs.W,
+        "h": local_tensorfs.H,
+        "frames": [],
+    }
+    for pose_mtx, fname in zip(poses_mtx, fnames):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :] = pose_mtx
+        transforms["frames"].append(
+            {
+                "file_path": f"images/{fname}",
+                "sharpness": 75.0,
+                "transform_matrix": pose.tolist(),
+            }
+        )
+    with open(transform_path, "w") as f:
+        json.dump(transforms, f, indent=2)
+
+
+def render_frames(args, poses_mtx, local_tensorfs, logfolder, test_dataset, train_dataset):
+    """Final render outputs (ref: train.py:63-140)."""
+    save_transforms(poses_mtx, f"{logfolder}/transforms.json", local_tensorfs, train_dataset)
+    t_w2rf = np.stack(local_tensorfs.world2rf, axis=0)
+    rf_mtx_inv = np.concatenate(
+        [np.tile(np.eye(3, dtype=np.float32), (len(t_w2rf), 1, 1)), t_w2rf[..., None]],
+        axis=-1,
+    )
+    save_transforms(rf_mtx_inv, f"{logfolder}/transforms_rf.json", local_tensorfs)
+
+    w, h = train_dataset.img_wh
+
+    if args.render_test:
+        render(
+            test_dataset,
+            poses_mtx,
+            local_tensorfs,
+            args,
+            w=w,
+            h=h,
+            save_path=f"{logfolder}/test",
+            save_frames=True,
+            save_video=False,
+            add_frame_to_list=False,
+            test=True,
+            train_dataset=train_dataset,
+            img_format="png",
+            start=0,
+        )
+
+    if args.render_path:
+        c2ws = smooth_poses_spline(poses_mtx, median_prefilter=True)
+        os.makedirs(f"{logfolder}/smooth_spline", exist_ok=True)
+        save_transforms(c2ws, f"{logfolder}/smooth_spline/transforms.json", local_tensorfs)
+        render(
+            test_dataset,
+            c2ws,
+            local_tensorfs,
+            args,
+            w=int(w / 1.5),
+            h=int(h / 1.5),
+            save_path=f"{logfolder}/smooth_spline",
+            train_dataset=train_dataset,
+            img_format="jpg",
+            save_frames=True,
+            save_video=not args.skip_saving_video,
+            add_frame_to_list=False,
+            floater_thresh=0.5,
+        )
+
+    if args.render_from_file:
+        with open(args.render_from_file) as f:
+            transforms = json.load(f)
+        c2ws = np.array(
+            [t["transform_matrix"] for t in transforms["frames"]], np.float32
+        )[..., :3, :]
+        if args.with_preprocessed_poses:
+            raw2ours = np.linalg.inv(
+                np.asarray(train_dataset.first_pose, np.float32)
+            )
+            for c2w in c2ws:
+                c2w[:3, :3] = raw2ours[:3, :3] @ c2w[:3, :3]
+                c2w[:3, 3] = raw2ours[:3, :3] @ c2w[:3, 3] + raw2ours[:3, 3]
+            c2ws[:, :3, 3] *= train_dataset.pose_scale
+        save_path = f"{logfolder}/{os.path.splitext(os.path.basename(args.render_from_file))[0]}"
+        os.makedirs(save_path, exist_ok=True)
+        render(
+            test_dataset,
+            c2ws,
+            local_tensorfs,
+            args,
+            w=w,
+            h=h,
+            save_path=save_path,
+            train_dataset=train_dataset,
+            img_format="jpg",
+            save_frames=True,
+            save_video=not args.skip_saving_video,
+            add_frame_to_list=False,
+            floater_thresh=0.5,
+        )
+
+
+def _make_model(args, train_dataset) -> LocalTensorfs:
+    upsamp_list = args.upsamp_list
+    n_voxel_raw = (
+        np.round(
+            np.exp(
+                np.linspace(
+                    np.log(args.N_voxel_init),
+                    np.log(args.N_voxel_final),
+                    len(upsamp_list) + 1,
+                )
+            )
+        )
+        .astype(np.int64)
+        .tolist()[1:]
+    )
+    n_voxel_list = {
+        u: round(v ** (1 / 3)) ** 3 for u, v in zip(upsamp_list, n_voxel_raw)
+    }
+
+    aabb = train_dataset.scene_bbox
+    reso_cur = n_to_reso(args.N_voxel_init, aabb)
+
+    if args.with_preprocessed_poses:
+        camera_prior = {
+            "rel_poses": train_dataset.rel_poses,
+            "transforms": train_dataset.transforms,
+        }
+    else:
+        camera_prior = None
+
+    tf_cfg = TensorfConfig(
+        grid_size=tuple(reso_cur),
+        density_n_comp=tuple(args.n_lamb_sigma),
+        app_n_comp=tuple(args.n_lamb_sh),
+        app_dim=args.data_dim_color,
+        feature_c=args.featureC,
+        density_shift=args.density_shift,
+        distance_scale=args.distance_scale,
+        ray_march_weight_thres=args.rm_weight_mask_thre,
+        alpha_mask_thres=args.alpha_mask_thre,
+        step_ratio=args.step_ratio,
+        fea2dense_act=args.fea2denseAct,
+        shading_mode=args.shadingMode,
+        pos_pe=args.pos_pe,
+        view_pe=args.view_pe,
+        fea_pe=args.fea_pe,
+        aabb_lo=tuple(float(v) for v in aabb[0]),
+        aabb_hi=tuple(float(v) for v in aabb[1]),
+    )
+    cfg = LocalConfig(
+        fov=args.fov,
+        n_init_frames=min(args.n_init_frames, train_dataset.num_images),
+        n_overlap=args.n_overlap,
+        WH=tuple(train_dataset.img_wh),
+        n_iters_per_frame=args.n_iters_per_frame,
+        n_iters_reg=args.n_iters_reg,
+        lr_R_init=args.lr_R_init,
+        lr_t_init=args.lr_t_init,
+        lr_i_init=args.lr_i_init,
+        lr_exposure_init=args.lr_exposure_init,
+        rf_lr_init=args.lr_init,
+        rf_lr_basis=args.lr_basis,
+        lr_decay_target_ratio=args.lr_decay_target_ratio,
+        N_voxel_list=n_voxel_list,
+        update_AlphaMask_list=args.update_AlphaMask_list,
+        lr_upsample_reset=bool(args.lr_upsample_reset),
+        loss_flow_weight=args.loss_flow_weight_inital,
+        loss_depth_weight=args.loss_depth_weight_inital,
+        tv_weight_density=args.TV_weight_density,
+        tv_weight_app=args.TV_weight_app,
+        l1_weight=args.L1_weight,
+        n_views=args.n_views,
+        batch_size=args.batch_size,
+        tensorf=tf_cfg,
+    )
+    return LocalTensorfs(cfg, camera_prior)
+
+
+def reconstruction(args, train_dataset=None, test_dataset=None):
+    # speedup-factor rescaling (ref: train.py:207-220)
+    args.n_iters_per_frame = int(args.n_iters_per_frame / args.refinement_speedup_factor)
+    args.n_iters_reg = int(args.n_iters_reg / args.refinement_speedup_factor)
+    args.upsamp_list = [int(u / args.refinement_speedup_factor) for u in args.upsamp_list]
+    args.update_AlphaMask_list = [
+        int(u / args.refinement_speedup_factor) for u in args.update_AlphaMask_list
+    ]
+    args.add_frames_every = int(args.add_frames_every / args.prog_speedup_factor)
+    args.lr_R_init = args.lr_R_init * args.prog_speedup_factor
+    args.lr_t_init = args.lr_t_init * args.prog_speedup_factor
+    args.loss_flow_weight_inital = args.loss_flow_weight_inital * args.prog_speedup_factor
+    args.L1_weight = args.L1_weight * args.prog_speedup_factor
+    args.TV_weight_density = args.TV_weight_density * args.prog_speedup_factor
+    args.TV_weight_app = args.TV_weight_app * args.prog_speedup_factor
+
+    if train_dataset is None:
+        train_dataset = LocalRFDataset(
+            args.datadir,
+            split="train",
+            downsampling=args.downsampling,
+            test_frame_every=args.test_frame_every,
+            load_depth=args.loss_depth_weight_inital > 0,
+            load_flow=args.loss_flow_weight_inital > 0,
+            with_preprocessed_poses=bool(args.with_preprocessed_poses),
+            n_init_frames=args.n_init_frames,
+            subsequence=args.subsequence,
+            frame_step=args.frame_step,
+        )
+        test_dataset = LocalRFDataset(
+            args.datadir,
+            split="test",
+            load_depth=args.loss_depth_weight_inital > 0,
+            load_flow=args.loss_flow_weight_inital > 0,
+            downsampling=args.downsampling,
+            test_frame_every=args.test_frame_every,
+            with_preprocessed_poses=bool(args.with_preprocessed_poses),
+            subsequence=args.subsequence,
+            frame_step=args.frame_step,
+        )
+
+    logfolder = args.logdir
+    os.makedirs(logfolder, exist_ok=True)
+    writer = _make_writer(logfolder)
+
+    model = _make_model(args, train_dataset)
+    w, h = train_dataset.img_wh
+
+    optimize_poses = args.lr_R_init > 0 or args.lr_t_init > 0
+    training = True
+    n_added_frames = 0
+    last_add_iter = 0
+    iteration = 0
+    metrics = {}
+    start_time = time.time()
+
+    while training:
+        batch = train_dataset.sample(
+            args.batch_size, model.is_refining, optimize_poses, n_views=args.n_views
+        )
+        train_test_poses = batch["train_test_poses"]
+
+        if train_test_poses:
+            can_add_rf = False
+            if optimize_poses:
+                model.optimizer_step_poses_only(batch)
+        else:
+            can_add_rf = model.optimizer_step(batch, optimize_poses)
+            training |= train_dataset.active_frames_bounds[1] != train_dataset.num_images
+
+        # progressive state machine (ref: train.py:440-474)
+        if not model.is_refining:
+            should_refine = not train_dataset.has_left_frames() or (
+                n_added_frames > args.n_overlap
+                and (
+                    model.get_dist_to_last_rf() > args.max_drift
+                    or (
+                        train_dataset.active_frames_bounds[1]
+                        - train_dataset.active_frames_bounds[0]
+                    )
+                    >= args.n_max_frames
+                )
+            )
+            if should_refine and (iteration - last_add_iter) >= args.add_frames_every:
+                model.is_refining = True
+
+            should_add_frame = train_dataset.has_left_frames()
+            should_add_frame &= (iteration - last_add_iter + 1) % args.add_frames_every == 0
+            should_add_frame &= not should_refine
+            should_add_frame &= not model.is_refining
+            if should_add_frame:
+                model.append_frame()
+                train_dataset.activate_frames()
+                n_added_frames += 1
+                last_add_iter = iteration
+
+        if can_add_rf:
+            if train_dataset.has_left_frames():
+                model.append_rf(n_added_frames)
+                n_added_frames = 0
+                training_frames = model.blending_weights[:, -1] > 0
+                first = int(np.argmax(training_frames))
+                train_dataset.deactivate_frames(first)
+                model.set_window_start(first)
+            else:
+                training = False
+
+        # logging
+        if writer is not None:
+            for k, v in model.last_metrics.items():
+                writer.add_scalar(f"train/{k}", v, global_step=iteration)
+            writer.add_scalar(
+                "active_frames_bounds/0", train_dataset.active_frames_bounds[0], iteration
+            )
+            writer.add_scalar(
+                "active_frames_bounds/1", train_dataset.active_frames_bounds[1], iteration
+            )
+
+        if iteration % args.progress_refresh_rate == 0:
+            ips = min(args.progress_refresh_rate, iteration + 1) / (
+                time.time() - start_time
+            )
+            if writer is not None:
+                writer.add_scalar("train/iter_per_sec", ips, global_step=iteration)
+            print(
+                f"Iteration {iteration:06d}: {ips:.2f} it/s"
+                f" rgb_loss={model.last_metrics.get('rgb_loss', float('nan')):.4f}"
+            )
+            start_time = time.time()
+
+        if iteration % args.vis_every == args.vis_every - 1:
+            poses_mtx = model.get_cam2world()
+            _, _, _, _, _, _, loc_metrics = render(
+                test_dataset,
+                poses_mtx,
+                model,
+                args,
+                w=w // 2,
+                h=h // 2,
+                save_path=logfolder,
+                save_frames=True,
+                img_format="jpg",
+                test=True,
+                train_dataset=train_dataset,
+                start=train_dataset.active_frames_bounds[0],
+                add_frame_to_list=False,
+            )
+            if loc_metrics:
+                metrics.update(loc_metrics)
+                mses = [m["mse"] for m in metrics.values()]
+                psnr = -10.0 * np.log(np.mean(mses)) / np.log(10.0)
+                ssims = [m["ssim"] for m in metrics.values()]
+                if writer is not None:
+                    writer.add_scalar("test/PSNR", psnr, global_step=iteration)
+                    writer.add_scalar("test/ssim", float(np.mean(ssims)), iteration)
+                print(f"test PSNR={psnr:.2f} SSIM={np.mean(ssims):.3f}")
+            save_checkpoint(model, f"{logfolder}/checkpoints_tmp.th")
+
+        iteration += 1
+
+    save_checkpoint(model, f"{logfolder}/checkpoints.th")
+    poses_mtx = model.get_cam2world()
+    render_frames(
+        args, poses_mtx, model, logfolder,
+        test_dataset=test_dataset, train_dataset=train_dataset,
+    )
+    return model, metrics
+
+
+def render_test(args):
+    """Render-only entry restoring from a checkpoint (ref: train.py:142-203)."""
+    train_dataset = LocalRFDataset(
+        args.datadir,
+        split="train",
+        downsampling=args.downsampling,
+        test_frame_every=args.test_frame_every,
+        n_init_frames=args.n_init_frames,
+        with_preprocessed_poses=bool(args.with_preprocessed_poses),
+        subsequence=args.subsequence,
+        frame_step=args.frame_step,
+    )
+    test_dataset = LocalRFDataset(
+        args.datadir,
+        split="test",
+        load_depth=args.loss_depth_weight_inital > 0,
+        load_flow=args.loss_flow_weight_inital > 0,
+        downsampling=args.downsampling,
+        test_frame_every=args.test_frame_every,
+        with_preprocessed_poses=bool(args.with_preprocessed_poses),
+        subsequence=args.subsequence,
+        frame_step=args.frame_step,
+    )
+
+    logfolder = args.logdir
+    ckpt_path = args.ckpt if args.ckpt else f"{logfolder}/checkpoints.th"
+    if not os.path.isfile(ckpt_path):
+        print("Backing up to intermediate checkpoints")
+        ckpt_path = f"{logfolder}/checkpoints_tmp.th"
+        if not os.path.isfile(ckpt_path):
+            print("the ckpt path does not exists!!")
+            return
+
+    camera_prior = None
+    if args.with_preprocessed_poses:
+        camera_prior = {
+            "rel_poses": train_dataset.rel_poses,
+            "transforms": train_dataset.transforms,
+        }
+    model = load_checkpoint(ckpt_path, camera_prior=camera_prior)
+    logfolder = os.path.dirname(ckpt_path)
+    render_frames(
+        args,
+        model.get_cam2world(),
+        model,
+        logfolder,
+        test_dataset=test_dataset,
+        train_dataset=train_dataset,
+    )
+
+
+def _make_writer(logfolder):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=logfolder)
+    except Exception:
+        return None
+
+
+def main():
+    args = config_parser()
+    print(args)
+    np.random.seed(20211202)
+    if args.render_only:
+        render_test(args)
+    else:
+        reconstruction(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Integration: progressive manager drives jitted steps on a tiny synthetic
+scene — loss decreases, frames/fields append, window slides, eval renders."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from localrf_tpu.data.dataset import SyntheticDataset
+from localrf_tpu.models.local import LocalConfig, LocalTensorfs
+from localrf_tpu.models.tensorf import TensorfConfig
+
+W, H = 24, 18
+N_FRAMES = 12
+
+
+def make_scene():
+    rng = np.random.default_rng(3)
+    # slowly varying colored gradient video
+    base = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    rgbs = np.stack(
+        [np.clip(base + 0.01 * t, 0, 1) for t in range(N_FRAMES)], 0
+    ).astype(np.float32)
+    inv = rng.uniform(0.1, 1.0, (N_FRAMES, H, W)).astype(np.float32)
+    flow = np.zeros((N_FRAMES, H, W, 2), np.float32)
+    mask = np.ones((N_FRAMES, H, W), np.float32)
+    return rgbs, inv, flow, mask
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rgbs, inv, flow, mask = make_scene()
+    ds = SyntheticDataset(
+        rgbs, "train", invdepths=inv,
+        fwd_flow=flow, fwd_mask=mask, bwd_flow=flow, bwd_mask=mask,
+        n_init_frames=3, test_frame_every=5,
+    )
+    cfg = LocalConfig(
+        fov=60.0,
+        n_init_frames=3,
+        n_overlap=2,
+        WH=(W, H),
+        n_iters_per_frame=8,
+        n_iters_reg=4,
+        N_voxel_list={6: 24**3},
+        update_AlphaMask_list=[7],
+        n_views=4,
+        batch_size=64,
+        tensorf=TensorfConfig(grid_size=(16, 16, 16)),
+        loss_flow_weight=1.0,
+        loss_depth_weight=0.1,
+        l1_weight=1e-2,
+    )
+    model = LocalTensorfs(cfg)
+    return ds, cfg, model
+
+
+def test_progressive_training_loop(setup):
+    ds, cfg, model = setup
+    losses = []
+    n_added = 0
+    iteration = 0
+    # mimic the reference reconstruction loop at miniature scale
+    for _ in range(120):
+        batch = ds.sample(cfg.batch_size, model.is_refining, True, n_views=cfg.n_views)
+        if batch["train_test_poses"]:
+            model.optimizer_step_poses_only(batch)
+            can_add_rf = False
+        else:
+            can_add_rf = model.optimizer_step(batch, optimize_poses=True)
+        losses.append(model.last_metrics["rgb_loss"])
+
+        if not model.is_refining:
+            should_refine = not ds.has_left_frames() or (
+                n_added > cfg.n_overlap
+                and (
+                    model.get_dist_to_last_rf() > 1.0
+                    or (ds.active_frames_bounds[1] - ds.active_frames_bounds[0]) >= 10
+                )
+            )
+            if should_refine and iteration % 4 == 0:
+                model.is_refining = True
+            elif ds.has_left_frames() and iteration % 4 == 3:
+                model.append_frame()
+                ds.activate_frames()
+                n_added += 1
+        if can_add_rf:
+            if ds.has_left_frames():
+                model.append_rf(n_added)
+                n_added = 0
+                training_frames = model.blending_weights[:, -1] > 0
+                first = int(np.argmax(training_frames))
+                ds.deactivate_frames(first)
+                model.set_window_start(first)
+            else:
+                break
+        iteration += 1
+
+    assert all(np.isfinite(losses))
+    # photometric loss should drop substantially on a near-static scene
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert model.n_frames > cfg.n_init_frames
+    assert len(model.fields) >= 1
+
+
+def test_eval_render(setup):
+    ds, cfg, model = setup
+    ray_ids = np.arange(W * H, dtype=np.int64)
+    view_ids = np.array([1])
+    rgb, depth, dirs, ij = model.forward_eval(
+        ray_ids, view_ids, W, H, chunk=W * H, test_id=False
+    )
+    assert rgb.shape == (W * H, 3)
+    assert np.all(np.isfinite(rgb)) and np.all(np.isfinite(depth))
+    assert rgb.min() >= 0 and rgb.max() <= 1
+
+
+def test_pose_gates_freeze_unlinked(setup):
+    ds, cfg, model = setup
+    gate = model._gate()
+    # gates only within window length
+    assert gate.shape[0] == model._wc
+    assert not gate[model.win_len:].any()
+
+
+def test_cam2world_shapes(setup):
+    ds, cfg, model = setup
+    c2w = model.get_cam2world()
+    assert c2w.shape == (model.n_frames, 3, 4)
+    # rotations orthonormal
+    rtr = np.einsum("bij,bik->bjk", c2w[:, :3, :3], c2w[:, :3, :3])
+    np.testing.assert_allclose(rtr, np.tile(np.eye(3), (model.n_frames, 1, 1)), atol=1e-4)
