@@ -1,0 +1,136 @@
+"""Benchmark: training-time rays/sec/chip across the coarse-to-fine schedule.
+
+Runs the full jitted train step (forward render + photometric/flow/depth
+losses + backward + gated Adam updates for field/pose/exposure) at every
+voxel stage of the reference schedule (64^3 -> 640^3,
+ref: opt.py:61-70, train.py:274-288), then reports the schedule-weighted
+aggregate throughput: total rays / total time with stages weighted by their
+share of refinement iterations ([100,50,50,50,50,300] of 600 per frame).
+
+Baseline: the reference publishes no numbers (BASELINE.md); we use a nominal
+A100 estimate of 50,000 rays/s (≈12.2 it/s at batch 4096, consistent with
+single-GPU TensoRF-class training) — vs_baseline = ours / 50k.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+ASSUMED_A100_RAYS_PER_SEC = 50_000.0
+
+STAGE_GRIDS = [64, 101, 161, 255, 404, 640]
+STAGE_ITERS = [100, 50, 50, 50, 50, 300]  # share of the 600 it/frame schedule
+
+W, H = 960, 540
+BATCH = 4096
+N_VIEWS = 16
+APP_TOP_K = 128
+
+
+def build_state(grid: int):
+    import jax
+    import jax.numpy as jnp
+
+    from localrf_tpu.data.dataset import SyntheticDataset
+    from localrf_tpu.models.local import LocalConfig, LocalTensorfs
+    from localrf_tpu.models.tensorf import TensorfConfig
+
+    rng = np.random.default_rng(0)
+    n_frames = 8
+    # tiny frames: pixel data content doesn't affect step cost (flat buffers)
+    rgbs = rng.uniform(0, 1, (n_frames, 64, 64, 3)).astype(np.float32)
+    inv = rng.uniform(0.1, 1, (n_frames, 64, 64)).astype(np.float32)
+    zeros2 = np.zeros((n_frames, 64, 64, 2), np.float32)
+    ones = np.ones((n_frames, 64, 64), np.float32)
+    ds = SyntheticDataset(
+        rgbs, "train", invdepths=inv,
+        fwd_flow=zeros2, fwd_mask=ones, bwd_flow=zeros2, bwd_mask=ones,
+        n_init_frames=n_frames, test_frame_every=0,
+    )
+    cfg = LocalConfig(
+        WH=(W, H),
+        n_views=N_VIEWS,
+        batch_size=BATCH,
+        tensorf=TensorfConfig(grid_size=(grid, grid, grid), app_top_k=APP_TOP_K),
+    )
+    model = LocalTensorfs(cfg)
+    # pretend mid-refinement so lr decay paths are active
+    model.is_refining = True
+    model.rf_iter[-1] = 10
+    model.lr_factor = 0.999
+    batch = ds.sample(BATCH, True, True, n_views=N_VIEWS)
+    # ray indices must address the full-resolution pixel grid
+    px = rng.integers(0, W * H, BATCH)
+    batch["idx"] = px + (batch["idx"] // (64 * 64)) * (W * H)
+    return model, batch
+
+
+def bench_stage(grid: int, n_timed: int) -> float:
+    """Returns train-step iterations/sec at this voxel stage."""
+    import jax
+
+    from localrf_tpu.models.step import FieldState, train_step
+
+    model, batch = build_state(grid)
+    f = model.fields[-1]
+    statics = model._statics(optimize_poses=True)
+    scalars = model._scalars()
+    dev_batch = model._device_batch(batch)
+
+    field_state = FieldState(f["params"], f["opt"])
+    pose, intr = model._pose_dev, model.intr
+
+    def step(fs, ps, it, key):
+        return train_step(fs, ps, it, dev_batch, scalars, statics, key, None)
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    fs, ps, it, _ = step(field_state, pose, intr, key)
+    jax.block_until_ready(fs.params["density_plane_0"])
+
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        key = jax.random.fold_in(key, i)
+        fs, ps, it, m = step(fs, ps, it, key)
+    jax.block_until_ready(fs.params["density_plane_0"])
+    dt = time.perf_counter() - t0
+    return n_timed / dt
+
+
+def main():
+    per_stage = {}
+    for grid in STAGE_GRIDS:
+        n_timed = 30 if grid <= 200 else 10
+        try:
+            ips = bench_stage(grid, n_timed)
+        except Exception as e:  # pragma: no cover - report partial results
+            print(f"# stage {grid}: failed ({type(e).__name__}: {e})")
+            ips = float("nan")
+        per_stage[grid] = ips
+        print(f"# stage {grid}^3: {ips:.2f} it/s = {ips * BATCH:,.0f} rays/s")
+
+    weights = np.array(STAGE_ITERS, np.float64)
+    ips_arr = np.array([per_stage[g] for g in STAGE_GRIDS], np.float64)
+    ok = np.isfinite(ips_arr)
+    total_time = np.sum(weights[ok] / ips_arr[ok])
+    total_rays = np.sum(weights[ok]) * BATCH
+    rays_per_sec = total_rays / total_time
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(float(rays_per_sec), 1),
+                "unit": "rays/s",
+                "vs_baseline": round(float(rays_per_sec / ASSUMED_A100_RAYS_PER_SEC), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

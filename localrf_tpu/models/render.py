@@ -88,15 +88,33 @@ def render_rays(
         alpha = jnp.where(sample_idx < idx_map * floater_thresh, 0.0, alpha)
         weight, _ = alpha2weights(alpha)
 
-    app_mask = weight > cfg.ray_march_weight_thres
-    app_feat = compute_app_feature(params, flat)  # [R*S, app_dim]
-    vd = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
-    rgb = apply_mlp(
-        params["mlp"], flat, jax.lax.stop_gradient(vd), app_feat, cfg, refine
-    ).reshape(r, s, 3)
-    rgb = jnp.where(app_mask[..., None], rgb, 0.0)
-
-    rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
+    if 0 < cfg.app_top_k < s:
+        # TPU compaction: shade only the K highest-weight samples per ray.
+        # Exactly reproduces the reference's `weight > thres` masked gather
+        # (ref: tensorBase.py:622-632) whenever fewer than K samples pass the
+        # threshold — weights sum to 1, so with thres=1e-3 at most 1000
+        # samples can ever pass; in practice a few dozen do.
+        k = cfg.app_top_k
+        w_k, idx_k = jax.lax.top_k(weight, k)  # [R, K]
+        ray_ix = jnp.arange(r)[:, None]
+        pts_k = pts_norm[ray_ix, idx_k].reshape(-1, 3)
+        app_feat = compute_app_feature(params, pts_k)  # [R*K, app_dim]
+        vd = jnp.broadcast_to(viewdirs[:, None, :], (r, k, 3)).reshape(-1, 3)
+        rgb_k = apply_mlp(
+            params["mlp"], pts_k, jax.lax.stop_gradient(vd), app_feat, cfg, refine
+        ).reshape(r, k, 3)
+        app_mask = w_k > cfg.ray_march_weight_thres
+        rgb_k = jnp.where(app_mask[..., None], rgb_k, 0.0)
+        rgb_map = jnp.sum(w_k[..., None] * rgb_k, axis=-2)
+    else:
+        app_mask = weight > cfg.ray_march_weight_thres
+        app_feat = compute_app_feature(params, flat)  # [R*S, app_dim]
+        vd = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
+        rgb = apply_mlp(
+            params["mlp"], flat, jax.lax.stop_gradient(vd), app_feat, cfg, refine
+        ).reshape(r, s, 3)
+        rgb = jnp.where(app_mask[..., None], rgb, 0.0)
+        rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
 
     # white background, or randomly flipped white background in training
     # (ref: tensorBase.py:633-634)

@@ -46,6 +46,10 @@ class TensorfConfig:
     distance_scale: float = 25.0
     ray_march_weight_thres: float = 1e-4
     alpha_mask_thres: float = 1e-4
+    # TPU compaction: appearance is only shaded at the top-K samples per ray
+    # by compositing weight (static-shape analog of the reference's ragged
+    # `weight > thres` gather, ref: tensorBase.py:622-630). 0 = dense.
+    app_top_k: int = 0
     step_ratio: float = 0.5
     fea2dense_act: str = "softplus"
     shading_mode: str = "MLP_Fea_late_view"

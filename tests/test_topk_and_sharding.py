@@ -1,0 +1,79 @@
+"""Top-K appearance compaction parity + multi-device data parallelism."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localrf_tpu.models.render import render_rays
+from localrf_tpu.models.tensorf import TensorfConfig, init_tensorf
+
+CFG = TensorfConfig(grid_size=(16, 16, 16))
+
+
+def _rays(n=17):
+    rng = np.random.default_rng(5)
+    o = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_topk_matches_dense_when_k_covers_threshold():
+    params = init_tensorf(jax.random.PRNGKey(0), CFG)
+    o, d = _rays()
+    dense_cfg = dataclasses.replace(CFG, app_top_k=0)
+    # K = S: top-k covers every sample -> must match dense path exactly
+    topk_cfg = dataclasses.replace(CFG, app_top_k=47)
+    rgb0, dep0 = render_rays(params, dense_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
+    rgb1, dep1 = render_rays(params, topk_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-5, atol=1e-5)
+
+
+def test_topk_close_with_small_k():
+    """With K=16 of 48 samples, only sub-threshold contributions can differ."""
+    params = init_tensorf(jax.random.PRNGKey(0), CFG)
+    o, d = _rays()
+    dense_cfg = dataclasses.replace(CFG, app_top_k=0)
+    topk_cfg = dataclasses.replace(CFG, app_top_k=16)
+    rgb0, _ = render_rays(params, dense_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
+    rgb1, _ = render_rays(params, topk_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
+    # each skipped sample contributes at most its weight (<~ mass outside top-16)
+    assert float(jnp.max(jnp.abs(rgb1 - rgb0))) < 0.05
+
+
+def test_topk_grads_flow():
+    params = init_tensorf(jax.random.PRNGKey(0), CFG)
+    o, d = _rays(8)
+    cfg = dataclasses.replace(CFG, app_top_k=12)
+
+    def loss(p):
+        rgb, _ = render_rays(p, cfg, o, d, is_train=True, white_bg=False,
+                             n_samples=48, key=jax.random.PRNGKey(1))
+        return jnp.mean(rgb**2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.sum(jnp.abs(g["app_plane_0"]))) > 0
+    assert float(jnp.sum(jnp.abs(g["mlp"]["w1"]))) > 0
+
+
+def test_dryrun_multichip_8cpu():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    assert len(jax.devices()) >= 8
+    dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    rgb, depth = jax.jit(fn)(*args)
+    assert rgb.shape == (4096, 3)
+    assert np.all(np.isfinite(np.asarray(rgb)))
