@@ -87,16 +87,19 @@ def bench_stage(grid: int, n_timed: int) -> float:
     def step(fs, ps, it, key):
         return train_step(fs, ps, it, dev_batch, scalars, statics, key, None)
 
+    import jax.numpy as jnp
+
     key = jax.random.PRNGKey(0)
-    # warmup/compile
-    fs, ps, it, _ = step(field_state, pose, intr, key)
-    jax.block_until_ready(fs.params["density_plane_0"])
+    # warmup/compile; force a true device sync via a value pull —
+    # block_until_ready is unreliable on the tunneled backend
+    fs, ps, it, m = step(field_state, pose, intr, key)
+    _ = float(m["total_loss"])
 
     t0 = time.perf_counter()
     for i in range(n_timed):
         key = jax.random.fold_in(key, i)
         fs, ps, it, m = step(fs, ps, it, key)
-    jax.block_until_ready(fs.params["density_plane_0"])
+    _ = float(m["total_loss"])  # chained state => drains the whole queue
     dt = time.perf_counter() - t0
     return n_timed / dt
 

