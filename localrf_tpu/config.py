@@ -127,6 +127,11 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         "--data_parallel", type=int, default=0,
         help="shard the ray batch over this many devices (0 = all available)",
     )
+    parser.add_argument(
+        "--scan_chunk", type=int, default=16,
+        help="fuse this many train steps into one on-device lax.scan dispatch"
+        " (1 = step-at-a-time, bit-exact reference scheduling)",
+    )
 
     if cmd is not None:
         argv = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)

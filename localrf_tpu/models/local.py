@@ -34,6 +34,7 @@ from .step import (
     StepStatics,
     cam2world_from_params,
     render_chunk,
+    train_chunk,
     train_step,
     train_step_poses_only,
 )
@@ -352,59 +353,60 @@ class LocalTensorfs:
             lr_net=c.rf_lr_basis,
         )
 
-    def _scalars(self) -> dict[str, Any]:
+    def _scalars_py(self, pose_only: bool = False) -> dict[str, Any]:
         c = self.cfg
         it = self.rf_iter[-1]
         regularize = it < self.n_iters_reg
         reg_w = self.lr_factor**it
         reg_on = regularize and it < self.n_iters
         return {
-            "init_focal": jnp.asarray(self.init_focal, jnp.float32),
-            "w_scale": jnp.asarray(1.0, jnp.float32),
-            "world2rf": jnp.asarray(self.world2rf[-1]),
-            "n_valid": jnp.asarray(self.win_len, jnp.int32),
-            "lr_factor": jnp.asarray(self.lr_factor, jnp.float32),
-            "reg_w": jnp.asarray(reg_w, jnp.float32),
-            "reg_flag": jnp.asarray(1.0 if regularize else 0.0, jnp.float32),
-            "refine": jnp.asarray(1.0 if self.is_refining else 0.0, jnp.float32),
-            "is_refining": jnp.asarray(1.0 if self.is_refining else 0.0),
-            "is_first_rf": jnp.asarray(
+            "init_focal": np.float32(self.init_focal),
+            "w_scale": np.float32(1.0),
+            "world2rf": np.asarray(self.world2rf[-1], np.float32),
+            "n_valid": np.int32(self.win_len),
+            "lr_factor": np.float32(self.lr_factor),
+            "reg_w": np.float32(reg_w),
+            "reg_flag": np.float32(1.0 if regularize else 0.0),
+            "refine": np.float32(1.0 if self.is_refining else 0.0),
+            "is_refining": np.float32(1.0 if self.is_refining else 0.0),
+            "is_first_rf": np.float32(
                 1.0 if self.blending_weights.shape[1] == 1 else 0.0
             ),
-            "tv_wd": jnp.asarray(
-                c.tv_weight_density * reg_w if reg_on else 0.0, jnp.float32
-            ),
-            "tv_wa": jnp.asarray(
-                c.tv_weight_app * reg_w if reg_on else 0.0, jnp.float32
-            ),
-            "l1_w": jnp.asarray(c.l1_weight if reg_on else 0.0, jnp.float32),
-            "lr_i_base": jnp.asarray(c.lr_i_init, jnp.float32),
+            "tv_wd": np.float32(c.tv_weight_density * reg_w if reg_on else 0.0),
+            "tv_wa": np.float32(c.tv_weight_app * reg_w if reg_on else 0.0),
+            "l1_w": np.float32(c.l1_weight if reg_on else 0.0),
+            "lr_i_base": np.float32(c.lr_i_init),
+            "pose_only": np.float32(1.0 if pose_only else 0.0),
         }
 
-    def _device_batch(self, batch: dict) -> dict:
-        """Host batch -> device arrays with window-relative view ids."""
+    def _scalars(self) -> dict[str, Any]:
+        return {k: jnp.asarray(v) for k, v in self._scalars_py().items()}
+
+    def _host_batch(self, batch: dict) -> dict:
+        """Host batch -> numpy arrays with window-relative view ids."""
         view_rel = np.asarray(batch["view_ids"], np.int64) - self.win_start
         out = {
-            "ray_idx": jnp.asarray(np.asarray(batch["idx"], np.int32)),
-            "view_ids": jnp.asarray(view_rel.astype(np.int32)),
-            "rgbs": jnp.asarray(batch["rgbs"], jnp.float32),
-            "loss_weights": jnp.asarray(
-                np.asarray(batch["loss_weights"], np.float32).reshape(-1, 1)
-            ),
-            "gate": jnp.asarray(self._gate()),
+            "ray_idx": np.asarray(batch["idx"], np.int32),
+            "view_ids": view_rel.astype(np.int32),
+            "rgbs": np.asarray(batch["rgbs"], np.float32),
+            "loss_weights": np.asarray(batch["loss_weights"], np.float32).reshape(-1, 1),
         }
         for k in ("fwd_flow", "bwd_flow"):
             if batch.get(k) is not None:
-                out[k] = jnp.asarray(batch[k], jnp.float32)
+                out[k] = np.asarray(batch[k], np.float32)
         for k in ("fwd_mask", "bwd_mask", "invdepths"):
             if batch.get(k) is not None:
-                out[k] = jnp.asarray(
-                    np.asarray(batch[k], np.float32).reshape(-1)
-                )
+                out[k] = np.asarray(batch[k], np.float32).reshape(-1)
         return out
 
-    def optimizer_step(self, batch: dict, optimize_poses: bool) -> bool:
-        """One joint step; returns can_add_rf (ref: local_tensorfs.py:193-290)."""
+    def _device_batch(self, batch: dict) -> dict:
+        out = {k: jnp.asarray(v) for k, v in self._host_batch(batch).items()}
+        out["gate"] = jnp.asarray(self._gate())
+        return out
+
+    def _schedule_entry(self):
+        """Per-step schedule bookkeeping at step entry
+        (ref: local_tensorfs.py:194-206)."""
         c = self.cfg
         if self.rf_iter[-1] == 0:
             self.lr_factor = 1.0
@@ -422,6 +424,31 @@ class LocalTensorfs:
                 int(u * n_training_frames) for u in c.update_AlphaMask_list
             ]
 
+    def _apply_post_step_events(self):
+        """Upsample / occupancy refresh keyed on the pre-increment rf_iter
+        (ref: local_tensorfs.py:250-266)."""
+        c = self.cfg
+        f = self.fields[-1]
+        if self.rf_iter[-1] in self.N_voxel_list:
+            n_vox = self.N_voxel_list[self.rf_iter[-1]]
+            reso = n_to_reso(n_vox, f["cfg"].aabb)
+            f["params"], f["cfg"] = upsample_tensorf(f["params"], f["cfg"], reso)
+            if c.lr_upsample_reset:
+                f["opt"] = pytree_adam_init(f["params"])
+            else:
+                f["opt"] = pytree_adam_init(f["params"])._replace(
+                    lr_scale=f["opt"].lr_scale
+                )
+        if self.rf_iter[-1] in self.update_AlphaMask_list:
+            reso_mask = tuple(int(g / 2) for g in f["cfg"].grid_size)
+            f["alpha_volume"] = update_alpha_volume(f["params"], f["cfg"], reso_mask)
+
+    def _has_post_step_event(self, rf_iter: int) -> bool:
+        return rf_iter in self.N_voxel_list or rf_iter in self.update_AlphaMask_list
+
+    def optimizer_step(self, batch: dict, optimize_poses: bool) -> bool:
+        """One joint step; returns can_add_rf (ref: local_tensorfs.py:193-290)."""
+        self._schedule_entry()
         f = self.fields[-1]
         statics = self._statics(optimize_poses)
         field_state = FieldState(f["params"], f["opt"])
@@ -440,22 +467,7 @@ class LocalTensorfs:
         self.intr = new_intr
         self.last_metrics = {k: float(v) for k, v in metrics.items()}
 
-        # coarse-to-fine upsample (ref: local_tensorfs.py:250-261)
-        if self.rf_iter[-1] in self.N_voxel_list:
-            n_vox = self.N_voxel_list[self.rf_iter[-1]]
-            reso = n_to_reso(n_vox, f["cfg"].aabb)
-            f["params"], f["cfg"] = upsample_tensorf(f["params"], f["cfg"], reso)
-            if c.lr_upsample_reset:
-                f["opt"] = pytree_adam_init(f["params"])
-            else:
-                f["opt"] = pytree_adam_init(f["params"])._replace(
-                    lr_scale=f["opt"].lr_scale
-                )
-
-        # occupancy refresh (ref: local_tensorfs.py:264-266)
-        if self.rf_iter[-1] in self.update_AlphaMask_list:
-            reso_mask = tuple(int(g / 2) for g in f["cfg"].grid_size)
-            f["alpha_volume"] = update_alpha_volume(f["params"], f["cfg"], reso_mask)
+        self._apply_post_step_events()
 
         if self.is_refining:
             self.rf_iter[-1] += 1
@@ -479,6 +491,108 @@ class LocalTensorfs:
         )
         self._pose_dev = new_pose
         self.last_metrics = {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+    # fused chunk execution: K steps in one on-device scan
+    # ------------------------------------------------------------------
+
+    def plan_chunk(self, dataset, optimize_poses: bool, max_len: int) -> list[dict]:
+        """Sample up to max_len batches such that no schedule event (upsample,
+        occupancy refresh, can_add_rf) falls strictly inside the chunk. The
+        host schedule is simulated exactly — the same simulation replays
+        during run_chunk."""
+        c = self.cfg
+        batches = []
+        sim_rf_iter = self.rf_iter[-1]
+        sim_n_iters = self.n_iters
+        # replicate the entry branch the first joint step would run
+        if sim_rf_iter == 0:
+            sim_n_iters = c.n_iters_per_frame
+        elif sim_rf_iter == 1:
+            n_tf = int((self.blending_weights[:, -1] > 0).sum())
+            sim_n_iters = int(c.n_iters_per_frame * n_tf)
+        while len(batches) < max_len:
+            batch = dataset.sample(
+                c.batch_size, self.is_refining, optimize_poses, n_views=c.n_views
+            )
+            batches.append(batch)
+            if batch["train_test_poses"]:
+                continue
+            if self._has_post_step_event(sim_rf_iter):
+                break  # device-side event right after this step
+            if self.is_refining:
+                sim_rf_iter += 1
+            if sim_rf_iter >= sim_n_iters - 1:
+                break  # can_add_rf
+            if sim_rf_iter == 1:
+                break  # schedule rescale changes lists; re-plan
+        return batches
+
+    def run_chunk(self, batches: list[dict], optimize_poses: bool) -> bool:
+        """Execute pre-planned batches as one fused lax.scan dispatch.
+
+        Mirrors a sequence of optimizer_step / optimizer_step_poses_only
+        calls (ref: train.py:432-437) with identical schedule bookkeeping;
+        returns can_add_rf after the last step."""
+        if not batches:
+            return False
+        k = len(batches)
+        scal_seq: list[dict] = []
+        host_batches: list[dict] = []
+        rf_iter_pre_last = self.rf_iter[-1]
+
+        for b in batches:
+            pose_only = bool(b["train_test_poses"])
+            if not pose_only:
+                self._schedule_entry()
+                rf_iter_pre_last = self.rf_iter[-1]
+            scal_seq.append(self._scalars_py(pose_only))
+            hb = self._host_batch(b)
+            hb["gate"] = self._gate()
+            host_batches.append(hb)
+            if not pose_only and self.is_refining:
+                self.rf_iter[-1] += 1
+
+        stacked_batch = {
+            key: jnp.asarray(np.stack([hb[key] for hb in host_batches]))
+            for key in host_batches[0]
+        }
+        stacked_scal = {
+            key: jnp.asarray(np.stack([sc[key] for sc in scal_seq]))
+            for key in scal_seq[0]
+        }
+        # same key stream as k sequential optimizer_step calls -> chunked
+        # execution is bit-identical to step-at-a-time execution
+        keys = jnp.stack([self._next_key() for _ in range(k)])
+
+        f = self.fields[-1]
+        statics = self._statics(optimize_poses)
+        field_state = FieldState(f["params"], f["opt"])
+        new_field, new_pose, new_intr, metrics = train_chunk(
+            field_state,
+            self._pose_dev,
+            self.intr,
+            stacked_batch,
+            stacked_scal,
+            statics,
+            keys,
+            k,
+            f["alpha_volume"],
+        )
+        f["params"], f["opt"] = new_field.params, new_field.opt
+        self._pose_dev = new_pose
+        self.intr = new_intr
+        metrics = jax.device_get(metrics)
+        self.last_metrics = {key: float(v[-1]) for key, v in metrics.items()}
+        self.chunk_metrics = {key: np.asarray(v) for key, v in metrics.items()}
+
+        # device-side events keyed on the last joint step's pre-increment iter
+        rf_iter_saved = self.rf_iter[-1]
+        self.rf_iter[-1] = rf_iter_pre_last
+        self._apply_post_step_events()
+        self.rf_iter[-1] = rf_iter_saved
+
+        return self.rf_iter[-1] >= self.n_iters - 1
 
     # ------------------------------------------------------------------
     # queries

@@ -113,16 +113,17 @@ def _center(intr_params, w, h):
     return jnp.asarray([w, h], jnp.float32) * intr_params["center_rel"]
 
 
-def _apply_exposure(rgb, exposure, view_ids, px_per_view, n_valid, test_id: bool):
+def _apply_exposure(rgb, exposure, view_ids, px_per_view, n_valid, test_id):
     """Per-frame 3x3 exposure (ref: local_tensorfs.py:481-497). In test-pose
-    mode, use the detached average of the two neighbours' exposures."""
-    if test_id:
-        v_m = jnp.maximum(view_ids - 1, 0)
-        v_m = jnp.where(v_m == view_ids, 1, v_m)
-        v_p = jnp.minimum(view_ids + 1, n_valid - 1)
-        e = jax.lax.stop_gradient((exposure[v_m] + exposure[v_p]) / 2.0)
-    else:
-        e = exposure[view_ids]
+    mode (`test_id` is a traced 0/1 scalar), use the detached average of the
+    two neighbours' exposures."""
+    v_m = jnp.maximum(view_ids - 1, 0)
+    v_m = jnp.where(v_m == view_ids, 1, v_m)
+    v_p = jnp.minimum(view_ids + 1, n_valid - 1)
+    e_avg = jax.lax.stop_gradient((exposure[v_m] + exposure[v_p]) / 2.0)
+    e_own = exposure[view_ids]
+    t = jnp.asarray(test_id, e_own.dtype)
+    e = e_avg * t + e_own * (1.0 - t)
     e = jnp.repeat(e, px_per_view, axis=0)
     return jnp.einsum("bij,bj->bi", e, rgb)
 
@@ -138,7 +139,7 @@ def forward_rays(
     key: jax.Array,
     *,
     is_train: bool,
-    test_id: bool,
+    test_id=0.0,
     alpha_volume=None,
 ):
     """Shared forward: rays from (pose, intrinsics), one-field render,
@@ -188,14 +189,15 @@ def _losses(
     scalars,
     key,
     *,
-    test_id: bool,
     alpha_volume=None,
 ):
     s = statics
     rgb, depth, directions, ij, focal, center = forward_rays(
         field_params, pose, intr_params, s,
         batch["ray_idx"], batch["view_ids"], scalars, key,
-        is_train=True, test_id=test_id, alpha_volume=alpha_volume,
+        is_train=True,
+        test_id=scalars.get("pose_only", 0.0),
+        alpha_volume=alpha_volume,
     )
 
     lw = batch["loss_weights"]
@@ -271,8 +273,7 @@ def _losses(
     return total, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("statics",))
-def train_step(
+def train_core(
     field: FieldState,
     pose: PoseState,
     intr: IntrState,
@@ -282,12 +283,16 @@ def train_step(
     key: jax.Array,
     alpha_volume=None,
 ):
-    """One full optimization step (ref: local_tensorfs.py:193-290).
+    """One optimization step (ref: local_tensorfs.py:179-290), fully traced.
 
-    Computes grads w.r.t. field, poses, exposure and intrinsics, then applies
-    per-group gated Adam updates with multiplicative lr decay.
+    `scalars["pose_only"]` (0/1) switches between the full joint step and the
+    reference's photometric test-pose refinement without retracing: on
+    pose-only steps the field/exposure/intrinsics updates and all lr decays
+    are gated off and the exposure is neighbour-averaged (test_id).
     """
     s = statics
+    pose_only = scalars.get("pose_only", jnp.zeros(()))
+    full = 1.0 - jnp.asarray(pose_only, jnp.float32)  # 1 on joint steps
 
     def loss_fn(field_params, pose_rte, intr_params):
         pose_full = pose._replace(
@@ -295,7 +300,7 @@ def train_step(
         )
         return _losses(
             field_params, pose_full, intr_params, s, batch, scalars, key,
-            test_id=False, alpha_volume=alpha_volume,
+            alpha_volume=alpha_volume,
         )
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
@@ -306,28 +311,32 @@ def train_step(
     lr_factor = scalars["lr_factor"]
     is_refining = scalars["is_refining"]
     gate = batch["gate"]  # [Wc] bool: linked to current RF & rf_iter < n_iters
+    full_gate = full > 0
 
-    # --- field (always stepped; lr decays after step while refining) ---
+    # --- field (stepped on joint steps; lr decays after step while refining) ---
     base_lrs = field_base_lrs(field.params, s.lr_spatial, s.lr_net)
-    new_params, f_opt = pytree_adam_update(field.params, g_field, field.opt, base_lrs)
+    new_params, f_opt = pytree_adam_update(
+        field.params, g_field, field.opt, base_lrs, gate=full_gate
+    )
     f_opt = f_opt._replace(
-        lr_scale=f_opt.lr_scale * jnp.where(is_refining > 0, lr_factor, 1.0)
+        lr_scale=f_opt.lr_scale
+        * jnp.where((is_refining > 0) & full_gate, lr_factor, 1.0)
     )
     new_field = FieldState(new_params, f_opt)
 
-    # --- poses (decay lr first, then gated step) ---
+    # --- poses (decay lr first on joint steps, then gated step) ---
     g_r, g_t, g_e = g_pose
     if s.optimize_poses:
-        r_opt = scale_lr(pose.r_opt, lr_factor, gate)
-        t_opt = scale_lr(pose.t_opt, lr_factor, gate)
+        r_opt = scale_lr(pose.r_opt, lr_factor, gate & full_gate)
+        t_opt = scale_lr(pose.t_opt, lr_factor, gate & full_gate)
         new_r, r_opt = adam_update(pose.r, g_r, r_opt, gate)
         new_t, t_opt = adam_update(pose.t, g_t, t_opt, gate)
     else:
         new_r, r_opt, new_t, t_opt = pose.r, pose.r_opt, pose.t, pose.t_opt
 
     if s.exposure_on:
-        e_opt = scale_lr(pose.e_opt, lr_factor, gate)
-        new_e, e_opt = adam_update(pose.exposure, g_e, e_opt, gate)
+        e_opt = scale_lr(pose.e_opt, lr_factor, gate & full_gate)
+        new_e, e_opt = adam_update(pose.exposure, g_e, e_opt, gate & full_gate)
     else:
         new_e, e_opt = pose.exposure, pose.e_opt
 
@@ -335,7 +344,7 @@ def train_step(
 
     # --- intrinsics: only while optimizing the first RF and refining ---
     if s.intrinsics_on:
-        gate_i = (scalars["is_first_rf"] > 0) & (is_refining > 0)
+        gate_i = (scalars["is_first_rf"] > 0) & (is_refining > 0) & full_gate
         i_opt = intr.opt._replace(
             lr_scale=intr.opt.lr_scale * jnp.where(gate_i, lr_factor, 1.0)
         )
@@ -351,33 +360,57 @@ def train_step(
 
 
 @functools.partial(jax.jit, static_argnames=("statics",))
+def train_step(
+    field, pose, intr, batch, scalars, statics: StepStatics, key, alpha_volume=None
+):
+    """Single full joint step (ref: local_tensorfs.py:193-290)."""
+    scalars = dict(scalars, pose_only=jnp.zeros(()))
+    return train_core(field, pose, intr, batch, scalars, statics, key, alpha_volume)
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
 def train_step_poses_only(
-    field: FieldState,
-    pose: PoseState,
-    intr: IntrState,
-    batch: dict,
-    scalars: dict,
-    statics: StepStatics,
-    key: jax.Array,
-    alpha_volume=None,
+    field, pose, intr, batch, scalars, statics: StepStatics, key, alpha_volume=None
 ):
     """Photometric-only pose refinement for held-out test frames
     (ref: local_tensorfs.py:179-191, train.py:432-435). No lr decay."""
-    s = statics
+    scalars = dict(scalars, pose_only=jnp.ones(()))
+    return train_core(field, pose, intr, batch, scalars, statics, key, alpha_volume)
 
-    def loss_fn(rt):
-        pose_full = pose._replace(r=rt[0], t=rt[1])
-        return _losses(
-            field.params, pose_full, intr.params, s, batch, scalars, key,
-            test_id=True, alpha_volume=alpha_volume,
+
+@functools.partial(jax.jit, static_argnames=("statics", "n_steps"))
+def train_chunk(
+    field: FieldState,
+    pose: PoseState,
+    intr: IntrState,
+    batches: dict,  # pytree of [K, ...] stacked batches
+    scalars_seq: dict,  # pytree of [K]-leading per-step scalars
+    statics: StepStatics,
+    keys: jax.Array,  # [K, 2]
+    n_steps: int,
+    alpha_volume=None,
+):
+    """Fused schedule executor: K training steps in one on-device lax.scan.
+
+    Removes per-iteration host dispatch entirely — the host only intervenes
+    at schedule events (frame append, field spawn, upsample, occupancy
+    refresh), which the driver aligns with chunk boundaries. Per-step
+    dynamic scalars (lr factor, refine/regularize flags, pose-only switches,
+    gates) are precomputed host-side into [K]-arrays.
+    """
+
+    def body(carry, xs):
+        f, p, i = carry
+        batch, scalars, key = xs
+        f, p, i, metrics = train_core(
+            f, p, i, batch, scalars, statics, key, alpha_volume
         )
+        return (f, p, i), metrics
 
-    (g_r, g_t), metrics = jax.grad(loss_fn, has_aux=True)((pose.r, pose.t))
-    gate = batch["gate"]
-    new_r, r_opt = adam_update(pose.r, g_r, pose.r_opt, gate)
-    new_t, t_opt = adam_update(pose.t, g_t, pose.t_opt, gate)
-    new_pose = pose._replace(r=new_r, t=new_t, r_opt=r_opt, t_opt=t_opt)
-    return field, new_pose, intr, metrics
+    (field, pose, intr), metrics = jax.lax.scan(
+        body, (field, pose, intr), (batches, scalars_seq, keys), length=n_steps
+    )
+    return field, pose, intr, metrics
 
 
 @functools.partial(

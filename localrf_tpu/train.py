@@ -280,19 +280,44 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
     metrics = {}
     start_time = time.time()
 
-    while training:
-        batch = train_dataset.sample(
-            args.batch_size, model.is_refining, optimize_poses, n_views=args.n_views
-        )
-        train_test_poses = batch["train_test_poses"]
+    scan_chunk = max(1, getattr(args, "scan_chunk", 1))
 
-        if train_test_poses:
-            can_add_rf = False
-            if optimize_poses:
-                model.optimizer_step_poses_only(batch)
+    def _max_chunk_len() -> int:
+        """Largest chunk that keeps progressive/vis events on its last step."""
+        length = scan_chunk
+        if not model.is_refining:
+            if iteration - last_add_iter >= args.add_frames_every:
+                return 1  # refine-flip zone: per-iteration drift checks
+            f = (iteration - last_add_iter + 1) % args.add_frames_every
+            steps_until = (args.add_frames_every - f) % args.add_frames_every
+            length = min(length, steps_until + 1)
+        steps_to_vis = args.vis_every - 1 - (iteration % args.vis_every)
+        return max(1, min(length, steps_to_vis + 1))
+
+    while training:
+        if scan_chunk > 1:
+            batches = model.plan_chunk(train_dataset, optimize_poses, _max_chunk_len())
+            can_add_rf = model.run_chunk(batches, optimize_poses)
+            if any(not b["train_test_poses"] for b in batches):
+                training |= (
+                    train_dataset.active_frames_bounds[1] != train_dataset.num_images
+                )
+            iteration += len(batches) - 1  # post-block sees the last executed step
         else:
-            can_add_rf = model.optimizer_step(batch, optimize_poses)
-            training |= train_dataset.active_frames_bounds[1] != train_dataset.num_images
+            batch = train_dataset.sample(
+                args.batch_size, model.is_refining, optimize_poses, n_views=args.n_views
+            )
+            train_test_poses = batch["train_test_poses"]
+
+            if train_test_poses:
+                can_add_rf = False
+                if optimize_poses:
+                    model.optimizer_step_poses_only(batch)
+            else:
+                can_add_rf = model.optimizer_step(batch, optimize_poses)
+                training |= (
+                    train_dataset.active_frames_bounds[1] != train_dataset.num_images
+                )
 
         # progressive state machine (ref: train.py:440-474)
         if not model.is_refining:

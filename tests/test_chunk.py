@@ -1,0 +1,100 @@
+"""Fused scan execution == step-at-a-time execution (same key stream)."""
+import numpy as np
+import pytest
+
+from localrf_tpu.data.dataset import SyntheticDataset
+from localrf_tpu.models.local import LocalConfig, LocalTensorfs
+from localrf_tpu.models.tensorf import TensorfConfig
+
+W, H = 20, 16
+
+
+def _make(seed_ds=7):
+    rng = np.random.default_rng(3)
+    rgbs = rng.uniform(0, 1, (8, H, W, 3)).astype(np.float32)
+    inv = rng.uniform(0.1, 1, (8, H, W)).astype(np.float32)
+    flow = np.zeros((8, H, W, 2), np.float32)
+    ones = np.ones((8, H, W), np.float32)
+    ds = SyntheticDataset(
+        rgbs, "train", invdepths=inv,
+        fwd_flow=flow, fwd_mask=ones, bwd_flow=flow, bwd_mask=ones,
+        n_init_frames=6, test_frame_every=4,
+    )
+    cfg = LocalConfig(
+        fov=70.0,
+        n_init_frames=6,
+        WH=(W, H),
+        n_views=4,
+        batch_size=64,
+        n_iters_per_frame=50,
+        tensorf=TensorfConfig(grid_size=(12, 12, 12)),
+    )
+    return ds, cfg, LocalTensorfs(cfg)
+
+
+def test_chunk_matches_stepwise():
+    ds1, cfg, m1 = _make()
+    ds2, _, m2 = _make()
+
+    # identical batch sequences (datasets share the same seeded RNG stream)
+    batches1 = [
+        ds1.sample(cfg.batch_size, False, True, n_views=cfg.n_views) for _ in range(6)
+    ]
+    batches2 = [
+        ds2.sample(cfg.batch_size, False, True, n_views=cfg.n_views) for _ in range(6)
+    ]
+    for b1, b2 in zip(batches1, batches2):
+        np.testing.assert_array_equal(b1["idx"], b2["idx"])
+        assert b1["train_test_poses"] == b2["train_test_poses"]
+
+    # stepwise
+    for b in batches1:
+        if b["train_test_poses"]:
+            m1.optimizer_step_poses_only(b)
+        else:
+            m1.optimizer_step(b, optimize_poses=True)
+
+    # chunked
+    m2.run_chunk(batches2, optimize_poses=True)
+
+    assert m1.rf_iter == m2.rf_iter
+    np.testing.assert_allclose(
+        np.asarray(m2._pose_dev.r), np.asarray(m1._pose_dev.r), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2._pose_dev.t), np.asarray(m1._pose_dev.t), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.fields[-1]["params"]["density_plane_0"]),
+        np.asarray(m1.fields[-1]["params"]["density_plane_0"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.fields[-1]["params"]["mlp"]["w1"]),
+        np.asarray(m1.fields[-1]["params"]["mlp"]["w1"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_plan_chunk_breaks_at_events():
+    ds, cfg, model = _make()
+    model.is_refining = True
+    # place an upsample event 3 joint steps ahead
+    model.rf_iter[-1] = 2
+    model.N_voxel_list = {4: 14**3}
+    batches = model.plan_chunk(ds, True, max_len=20)
+    # joint steps at rf_iter 2,3,4 -> event at pre-step iter 4 ends the chunk
+    joint = [b for b in batches if not b["train_test_poses"]]
+    assert len(joint) == 3
+
+
+def test_run_chunk_applies_upsample():
+    ds, cfg, model = _make()
+    model.is_refining = True
+    model.rf_iter[-1] = 2
+    model.N_voxel_list = {3: 14**3}
+    batches = model.plan_chunk(ds, True, max_len=10)
+    model.run_chunk(batches, optimize_poses=True)
+    assert model.fields[-1]["cfg"].grid_size == (14, 14, 14)
