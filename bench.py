@@ -62,6 +62,23 @@ def build_state(grid: int):
     model.is_refining = True
     model.rf_iter[-1] = 10
     model.lr_factor = 0.999
+    if grid > 64:
+        # past the first occupancy refresh (iter 100/frame) an alpha volume
+        # exists; model it as a coherent ball occupying ~8% of the aabb so
+        # the occupancy-compacted march (the production path) is measured
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        g2 = grid // 2
+        ax = np.linspace(-1, 1, g2)
+        zz, yy, xx = np.meshgrid(ax, ax, ax, indexing="ij")
+        vol = ((xx**2 + yy**2 + zz**2) < 0.535**2).astype(np.float32)
+        f = model.fields[-1]
+        f["alpha_volume"] = jnp.asarray(vol)
+        f["cfg"] = dataclasses.replace(
+            f["cfg"], occ_m=model._occ_m(f["cfg"], True)
+        )
     batch = ds.sample(BATCH, True, True, n_views=N_VIEWS)
     # ray indices must address the full-resolution pixel grid
     px = rng.integers(0, W * H, BATCH)
@@ -70,36 +87,44 @@ def build_state(grid: int):
 
 
 def bench_stage(grid: int, n_timed: int) -> float:
-    """Returns train-step iterations/sec at this voxel stage."""
+    """Returns train-step iterations/sec at this voxel stage, using the
+    production fused-scan execution path (one dispatch per chunk)."""
     import jax
+    import jax.numpy as jnp
 
-    from localrf_tpu.models.step import FieldState, train_step
+    from localrf_tpu.models.step import FieldState, train_chunk
 
     model, batch = build_state(grid)
     f = model.fields[-1]
     statics = model._statics(optimize_poses=True)
-    scalars = model._scalars()
-    dev_batch = model._device_batch(batch)
+    host = model._host_batch(batch)
+    host["gate"] = model._gate()
+    stacked_batch = {
+        k: jnp.asarray(np.broadcast_to(v, (n_timed,) + v.shape)) for k, v in host.items()
+    }
+    scal = model._scalars_py()
+    stacked_scal = {
+        k: jnp.asarray(np.broadcast_to(np.asarray(v), (n_timed,) + np.asarray(v).shape))
+        for k, v in scal.items()
+    }
+    keys = jax.random.split(jax.random.PRNGKey(0), n_timed)
 
     field_state = FieldState(f["params"], f["opt"])
     pose, intr = model._pose_dev, model.intr
 
-    def step(fs, ps, it, key):
-        return train_step(fs, ps, it, dev_batch, scalars, statics, key, None)
+    def chunk(fs, ps, it):
+        return train_chunk(
+            fs, ps, it, stacked_batch, stacked_scal, statics, keys, n_timed, None
+        )
 
-    import jax.numpy as jnp
-
-    key = jax.random.PRNGKey(0)
     # warmup/compile; force a true device sync via a value pull —
     # block_until_ready is unreliable on the tunneled backend
-    fs, ps, it, m = step(field_state, pose, intr, key)
-    _ = float(m["total_loss"])
+    fs, ps, it, m = chunk(field_state, pose, intr)
+    _ = float(m["total_loss"][-1])
 
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        key = jax.random.fold_in(key, i)
-        fs, ps, it, m = step(fs, ps, it, key)
-    _ = float(m["total_loss"])  # chained state => drains the whole queue
+    fs, ps, it, m = chunk(fs, ps, it)
+    _ = float(m["total_loss"][-1])
     dt = time.perf_counter() - t0
     return n_timed / dt
 

@@ -424,6 +424,16 @@ class LocalTensorfs:
                 int(u * n_training_frames) for u in c.update_AlphaMask_list
             ]
 
+    def _occ_m(self, tf_cfg: TensorfConfig, has_alpha: bool) -> int:
+        """Static compacted sample count for occupancy culling: keep ~45% of
+        samples (floor 256) once an alpha volume exists; disabled when that
+        wouldn't shrink the march."""
+        if not has_alpha:
+            return 0
+        s = tf_cfg.n_samples // 6 * 2
+        m = min(s, max(256, int(s * 0.45)))
+        return 0 if m >= s else int(m)
+
     def _apply_post_step_events(self):
         """Upsample / occupancy refresh keyed on the pre-increment rf_iter
         (ref: local_tensorfs.py:250-266)."""
@@ -442,6 +452,9 @@ class LocalTensorfs:
         if self.rf_iter[-1] in self.update_AlphaMask_list:
             reso_mask = tuple(int(g / 2) for g in f["cfg"].grid_size)
             f["alpha_volume"] = update_alpha_volume(f["params"], f["cfg"], reso_mask)
+        f["cfg"] = dataclasses.replace(
+            f["cfg"], occ_m=self._occ_m(f["cfg"], f["alpha_volume"] is not None)
+        )
 
     def _has_post_step_event(self, rf_iter: int) -> bool:
         return rf_iter in self.N_voxel_list or rf_iter in self.update_AlphaMask_list

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.math import alpha2weights
+from ..ops.occupancy import compact_valid_samples, occupancy_valid, pack_alpha_corners
 from ..ops.rays import sample_ray_contracted
 from .tensorf import (
     TensorfConfig,
@@ -64,13 +65,38 @@ def render_rays(
     r, s = pts.shape[0], pts.shape[1]
 
     pts_norm = normalize_coord(pts, cfg)
-    flat = pts_norm.reshape(-1, 3)
 
     quad = build_quad_views(params, cfg) if cfg.fast_gather else None
+
+    compact = (
+        alpha_volume is not None
+        and 0 < cfg.occ_m < s
+        and floater_thresh == 0.0
+    )
+    if compact:
+        # occupancy compaction: one packed-byte gather per sample for the
+        # occ>0 cull, then density only at the first occ_m occupied samples
+        # per ray — static-shape analog of the reference's ragged cull
+        # (ref: tensorBase.py:593-605)
+        packed = pack_alpha_corners(alpha_volume)
+        valid = occupancy_valid(
+            packed, alpha_volume.shape, pts_norm.reshape(-1, 3)
+        ).reshape(r, s)
+        valid = valid.at[:, -1].set(False)  # terminator handled separately
+        sel, sel_valid = compact_valid_samples(valid, cfg.occ_m)
+        ray_ix = jnp.arange(r)[:, None]
+        pts_norm = pts_norm[ray_ix, sel]  # [R, M, 3]
+        z_vals = jnp.broadcast_to(z_vals, (r, s))[ray_ix, sel]
+        dists = jnp.broadcast_to(dists, (r, s))[ray_ix, sel]
+        s = cfg.occ_m
+
+    flat = pts_norm.reshape(-1, 3)
     sigma_feat = compute_density_feature(params, flat, cfg, quad).reshape(r, s)
     sigma = feature2density(sigma_feat, cfg)
 
-    if alpha_volume is not None:
+    if compact:
+        sigma = jnp.where(sel_valid, sigma, 0.0)
+    elif alpha_volume is not None:
         occ = sample_alpha(alpha_volume, pts.reshape(-1, 3), cfg).reshape(r, s)
         sigma = jnp.where(occ > 0, sigma, 0.0)
 

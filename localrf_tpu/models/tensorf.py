@@ -57,6 +57,11 @@ class TensorfConfig:
     # single-index quad-packed gathers (see ops/grid.py) — numerically
     # identical to the reference bilinear path; False = plain XLA gathers
     fast_gather: bool = True
+    # occupancy compaction (see ops/occupancy.py): with an alpha volume
+    # present, compute density only at the first occ_m occupied samples per
+    # ray (static shape). 0 = dense masked compute. Exact vs the reference
+    # whenever < occ_m samples of a ray are occupied.
+    occ_m: int = 0
     step_ratio: float = 0.5
     fea2dense_act: str = "softplus"
     shading_mode: str = "MLP_Fea_late_view"
@@ -102,13 +107,31 @@ def _linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
 
 
 def init_mlp(key, cfg: TensorfConfig) -> dict[str, jax.Array]:
-    """MLP_Fea_late_view shading head (ref: models/tensorBase.py:97-135).
-
-    feat(+PE) -> featureC -> featureC, then concat viewdirs(+PE) -> 3.
-    Final bias zero-initialized as in the reference.
-    """
-    in_mlp = 2 * cfg.fea_pe * cfg.app_dim + cfg.app_dim
-    in_view = 2 * cfg.view_pe * 3 + 3
+    """Shading head parameters for the 5 MLP variants + RGB passthrough
+    (ref: models/tensorBase.py:64-229, 289-315). The default
+    MLP_Fea_late_view: feat(+PE) -> featureC -> featureC, then concat
+    viewdirs(+PE) -> 3. Final bias zero-initialized as in the reference."""
+    mode = cfg.shading_mode
+    fea = cfg.app_dim
+    if mode == "RGB":
+        return {}
+    in_view = 0
+    if mode == "MLP_Fea_late_view":
+        in_mlp = 2 * cfg.fea_pe * fea + fea
+        in_view = 2 * cfg.view_pe * 3 + 3
+    elif mode == "MLP_Fea":
+        in_mlp = 2 * cfg.view_pe * 3 + 2 * cfg.fea_pe * fea + 3 + fea
+    elif mode == "MLP_Fea_woView":
+        in_mlp = 2 * cfg.fea_pe * fea + fea
+    elif mode == "MLP_PE":
+        # note: the reference's in_mlpC arithmetic for this mode is
+        # inconsistent with its own forward (dead config path); we size the
+        # layer to match the actual inputs [feat, viewdirs, PE(pts), PE(view)]
+        in_mlp = fea + 3 + 2 * cfg.pos_pe * 3 + 2 * cfg.view_pe * 3
+    elif mode == "MLP":
+        in_mlp = fea + 3 + 2 * cfg.view_pe * 3
+    else:
+        raise ValueError(f"unknown shading mode {mode}")
     k1, k2, k3 = jax.random.split(key, 3)
     w1, b1 = _linear_init(k1, in_mlp, cfg.feature_c)
     w2, b2 = _linear_init(k2, cfg.feature_c, cfg.feature_c)
@@ -222,23 +245,62 @@ def apply_mlp(
     mlp, pts: jax.Array, viewdirs: jax.Array, features: jax.Array, cfg: TensorfConfig,
     refine=1.0,
 ) -> jax.Array:
-    """MLP_Fea_late_view shading. `refine` is a traced 0/1 scalar: during the
+    """Shading head dispatch (ref: models/tensorBase.py:64-229, 289-315).
+
+    Default MLP_Fea_late_view: `refine` is a traced 0/1 scalar — during the
     coarse phase (refine=0) the feature-PE inputs are zeroed, matching the
     reference's zero-padding branch (ref: models/tensorBase.py:115-135)
     without retracing when the phase flips."""
-    indata = [features]
-    if cfg.fea_pe > 0:
-        pe = positional_encoding(features, cfg.fea_pe)
-        indata.append(pe * jnp.asarray(refine, pe.dtype))
-    x = jnp.concatenate(indata, axis=-1)
-    x = jax.nn.relu(x @ mlp["w1"] + mlp["b1"])
-    x = jax.nn.relu(x @ mlp["w2"] + mlp["b2"])
-    view_in = [viewdirs]
-    if cfg.view_pe > 0:
-        view_in.append(positional_encoding(viewdirs, cfg.view_pe))
-    x = jnp.concatenate([x] + view_in, axis=-1)
-    rgb = x @ mlp["w3"] + mlp["b3"]
-    return jax.nn.sigmoid(rgb)
+    mode = cfg.shading_mode
+    if mode == "RGB":
+        return features
+
+    def run(x, view_extra=()):
+        x = jax.nn.relu(x @ mlp["w1"] + mlp["b1"])
+        x = jax.nn.relu(x @ mlp["w2"] + mlp["b2"])
+        if view_extra:
+            x = jnp.concatenate([x, *view_extra], axis=-1)
+        return jax.nn.sigmoid(x @ mlp["w3"] + mlp["b3"])
+
+    if mode == "MLP_Fea_late_view":
+        indata = [features]
+        if cfg.fea_pe > 0:
+            pe = positional_encoding(features, cfg.fea_pe)
+            indata.append(pe * jnp.asarray(refine, pe.dtype))
+        view_in = [viewdirs]
+        if cfg.view_pe > 0:
+            view_in.append(positional_encoding(viewdirs, cfg.view_pe))
+        return run(jnp.concatenate(indata, axis=-1), view_in)
+
+    if mode == "MLP_Fea":
+        indata = [features, viewdirs]
+        if cfg.fea_pe > 0:
+            indata.append(positional_encoding(features, cfg.fea_pe))
+        if cfg.view_pe > 0:
+            indata.append(positional_encoding(viewdirs, cfg.view_pe))
+        return run(jnp.concatenate(indata, axis=-1))
+
+    if mode == "MLP_Fea_woView":
+        indata = [features]
+        if cfg.fea_pe > 0:
+            indata.append(positional_encoding(features, cfg.fea_pe))
+        return run(jnp.concatenate(indata, axis=-1))
+
+    if mode == "MLP_PE":
+        indata = [features, viewdirs]
+        if cfg.pos_pe > 0:
+            indata.append(positional_encoding(pts, cfg.pos_pe))
+        if cfg.view_pe > 0:
+            indata.append(positional_encoding(viewdirs, cfg.view_pe))
+        return run(jnp.concatenate(indata, axis=-1))
+
+    if mode == "MLP":
+        indata = [features, viewdirs]
+        if cfg.view_pe > 0:
+            indata.append(positional_encoding(viewdirs, cfg.view_pe))
+        return run(jnp.concatenate(indata, axis=-1))
+
+    raise ValueError(f"unknown shading mode {mode}")
 
 
 def sample_alpha(alpha_volume: jax.Array, pts: jax.Array, cfg: TensorfConfig):

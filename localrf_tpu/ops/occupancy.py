@@ -1,0 +1,96 @@
+"""Bit-packed occupancy lookup + static-shape sample compaction.
+
+The reference culls empty space by trilinearly sampling a binary alpha
+volume and skipping masked samples via ragged boolean indexing
+(ref: models/tensorBase.py:51-58, 593-598). Ragged compute doesn't map to
+TPU; instead:
+
+  * the 8 trilinear corner occupancies of every voxel are packed into one
+    uint8 -> the `occ > 0` test needs ONE per-point gather (TPU gathers are
+    per-index bound, so this is 8x cheaper than gathering corners);
+  * each ray's valid samples are compacted to a static M slots (order
+    preserving), so density gathers, the transmittance scan and the
+    appearance top-k all run on [R, M] instead of [R, S].
+
+trilinear(vol, p) > 0  <=>  some corner has bit=1 AND nonzero trilinear
+weight — exactly the reference's cull decision (alpha values are >= 0).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .grid import _unnormalize
+
+
+def pack_alpha_corners(vol: jax.Array) -> jax.Array:
+    """Binary volume [D, H, W] -> uint8 [D*H*W]; bit k = corner (dz,dy,dx)
+    occupancy with k = dz*4 + dy*2 + dx, +1 shifts edge-clamped."""
+    v = vol > 0
+
+    def shift(a, axis):
+        d = a.shape[axis]
+        main = jax.lax.slice_in_dim(a, 1, d, axis=axis)
+        edge = jax.lax.slice_in_dim(a, d - 1, d, axis=axis)
+        return jnp.concatenate([main, edge], axis=axis)
+
+    bits = jnp.zeros(v.shape, jnp.uint8)
+    k = 0
+    for dz in (0, 1):
+        az = shift(v, 0) if dz else v
+        for dy in (0, 1):
+            ay = shift(az, 1) if dy else az
+            for dx in (0, 1):
+                ax = shift(ay, 2) if dx else ay
+                bits = bits | (ax.astype(jnp.uint8) << k)
+                k += 1
+    return bits.reshape(-1)
+
+
+def occupancy_valid(
+    packed: jax.Array, dhw: tuple[int, int, int], coords: jax.Array
+) -> jax.Array:
+    """coords [P, 3] as (x, y, z) in [-1, 1] -> bool [P]: trilinear occ > 0."""
+    d, h, w = dhw
+    fx = _unnormalize(coords[:, 0], w)
+    fy = _unnormalize(coords[:, 1], h)
+    fz = _unnormalize(coords[:, 2], d)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    z0 = jnp.floor(fz).astype(jnp.int32)
+    wx = fx - x0.astype(fx.dtype)
+    wy = fy - y0.astype(fy.dtype)
+    wz = fz - z0.astype(fz.dtype)
+
+    byte = jnp.take(packed, (z0 * h + y0) * w + x0).astype(jnp.int32)
+
+    valid = jnp.zeros(coords.shape[0], bool)
+    k = 0
+    for dz in (0, 1):
+        cz = (wz > 0) if dz else (wz < 1)
+        for dy in (0, 1):
+            cy = (wy > 0) if dy else (wy < 1)
+            for dx in (0, 1):
+                cx = (wx > 0) if dx else (wx < 1)
+                bit = (byte >> k) & 1
+                valid = valid | ((bit > 0) & cx & cy & cz)
+                k += 1
+    return valid
+
+
+def compact_valid_samples(valid: jax.Array, m: int):
+    """Select the first m valid sample indices per ray, in ascending order;
+    the final slot is reserved for the dense terminator sample S-1.
+
+    valid: [R, S] bool -> (sel [R, m] int32, sel_valid [R, m] bool).
+    Exactly reproduces dense masked compute whenever a ray has < m valid
+    samples; otherwise the farthest valid samples are dropped (they carry
+    the least transmittance).
+    """
+    r, s = valid.shape
+    idx = jnp.arange(s, dtype=jnp.int32)[None, :]
+    keys = jnp.where(valid, idx, s + idx)
+    _, sel = jax.lax.top_k(-keys, m)  # m smallest keys, ascending
+    sel = sel.astype(jnp.int32).at[:, -1].set(s - 1)
+    sel_valid = jnp.take_along_axis(valid, sel, axis=1)
+    return sel, sel_valid

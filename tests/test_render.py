@@ -200,3 +200,43 @@ def test_floater_thresh_changes_output(field, rays):
         is_train=False, white_bg=True, n_samples=48, floater_thresh=0.9,
     )
     assert rgb0.shape == rgb1.shape  # and it runs; outputs may differ
+
+
+@pytest.mark.parametrize(
+    "mode,pe",
+    [
+        ("MLP_Fea", dict(fea_pe=2, view_pe=2)),
+        ("MLP_Fea_woView", dict(fea_pe=2)),
+        ("MLP_PE", dict(pos_pe=2, view_pe=2)),
+        ("MLP", dict(view_pe=2)),
+        ("MLP_Fea_late_view", dict(fea_pe=2, view_pe=2)),
+    ],
+)
+def test_shading_mode_variants(mode, pe, rays):
+    """All reference shading variants run and produce valid outputs
+    (ref: models/tensorBase.py:64-229, 289-315)."""
+    import dataclasses
+
+    o, d = rays
+    cfg = dataclasses.replace(CFG, shading_mode=mode, **pe)
+    params = init_tensorf(jax.random.PRNGKey(2), cfg)
+    rgb, depth = render_rays(
+        params, cfg, jnp.asarray(o), jnp.asarray(d),
+        is_train=False, white_bg=True, n_samples=48,
+    )
+    assert rgb.shape == (33, 3)
+    assert np.all(np.isfinite(np.asarray(rgb)))
+    assert float(jnp.min(rgb)) >= 0.0 and float(jnp.max(rgb)) <= 1.0 + 1e-5
+
+
+def test_rgb_shading_mode(rays):
+    import dataclasses
+
+    o, d = rays
+    cfg = dataclasses.replace(CFG, shading_mode="RGB", app_dim=3)
+    params = init_tensorf(jax.random.PRNGKey(2), cfg)
+    rgb, _ = render_rays(
+        params, cfg, jnp.asarray(o), jnp.asarray(d),
+        is_train=False, white_bg=True, n_samples=48,
+    )
+    assert np.all(np.isfinite(np.asarray(rgb)))

@@ -77,3 +77,63 @@ def test_entry_compiles():
     rgb, depth = jax.jit(fn)(*args)
     assert rgb.shape == (4096, 3)
     assert np.all(np.isfinite(np.asarray(rgb)))
+
+
+def test_occupancy_compaction_exact_vs_dense():
+    """With occ_m large enough to hold every occupied sample, the compacted
+    march must equal the dense masked march exactly."""
+    import dataclasses
+    from localrf_tpu.models.tensorf import update_alpha_volume
+
+    cfg = dataclasses.replace(CFG, density_shift=-2.0)  # denser field
+    params = init_tensorf(jax.random.PRNGKey(2), cfg)
+    vol = update_alpha_volume(params, cfg, (10, 11, 9))
+    o, d = _rays(21)
+
+    dense_cfg = dataclasses.replace(cfg, occ_m=0)
+    # 47 of 48 samples can be valid at most (terminator excluded)
+    comp_cfg = dataclasses.replace(cfg, occ_m=47)
+    rgb0, dep0 = render_rays(
+        params, dense_cfg, o, d, is_train=False, white_bg=True,
+        n_samples=48, alpha_volume=vol,
+    )
+    rgb1, dep1 = render_rays(
+        params, comp_cfg, o, d, is_train=False, white_bg=True,
+        n_samples=48, alpha_volume=vol,
+    )
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-4, atol=1e-5)
+
+
+def test_occupancy_pack_and_valid_match_trilinear():
+    from localrf_tpu.ops.occupancy import occupancy_valid, pack_alpha_corners
+    from localrf_tpu.ops.grid import grid_sample_3d
+
+    rng = np.random.default_rng(4)
+    vol = (rng.uniform(size=(9, 12, 10)) > 0.7).astype(np.float32)
+    coords = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    packed = pack_alpha_corners(jnp.asarray(vol))
+    fast = np.asarray(occupancy_valid(packed, vol.shape, jnp.asarray(coords)))
+    tri = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords)))
+    np.testing.assert_array_equal(fast, tri > 0)
+
+
+def test_occupancy_compaction_grads():
+    import dataclasses
+    from localrf_tpu.models.tensorf import update_alpha_volume
+
+    cfg = dataclasses.replace(CFG, density_shift=-2.0, occ_m=24)
+    params = init_tensorf(jax.random.PRNGKey(2), cfg)
+    vol = update_alpha_volume(params, cfg, (10, 11, 9))
+    o, d = _rays(9)
+
+    def loss(p):
+        rgb, dep = render_rays(
+            p, cfg, o, d, is_train=True, white_bg=False,
+            n_samples=48, alpha_volume=vol, key=jax.random.PRNGKey(5),
+        )
+        return jnp.mean(rgb**2) + 1e-3 * jnp.mean(dep**2)
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
