@@ -114,7 +114,8 @@ def bench_stage(grid: int, n_timed: int) -> float:
 
     def chunk(fs, ps, it):
         return train_chunk(
-            fs, ps, it, stacked_batch, stacked_scal, statics, keys, n_timed, None
+            fs, ps, it, stacked_batch, stacked_scal, statics, keys, n_timed,
+            f["alpha_volume"],
         )
 
     # warmup/compile; force a true device sync via a value pull —

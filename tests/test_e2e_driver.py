@@ -1,0 +1,90 @@
+"""End-to-end driver test: build a tiny scene on disk (images/, depth/,
+flow_ds/), run `reconstruction` through the real CLI config, check outputs
+(checkpoints, transforms.json, test renders) and the render-only path."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from localrf_tpu.config import config_parser
+from localrf_tpu.data.flow_io import encode_flow
+
+
+W, H = 40, 30
+N_FRAMES = 8
+
+
+def make_scene_dir(root):
+    rng = np.random.default_rng(0)
+    os.makedirs(f"{root}/images")
+    os.makedirs(f"{root}/depth")
+    os.makedirs(f"{root}/flow_ds")
+    base = (rng.uniform(0.2, 0.8, (H, W, 3)) * 255).astype(np.uint8)
+    for i in range(N_FRAMES):
+        img = np.clip(base.astype(np.int32) + i * 2, 0, 255).astype(np.uint8)
+        cv2.imwrite(f"{root}/images/{i:06d}.jpg", img[..., ::-1])
+        inv = (rng.uniform(0.1, 1.0, (H, W)) * 65535).astype(np.uint16)
+        cv2.imwrite(f"{root}/depth/{i:06d}.png", inv)
+        flow = rng.uniform(-1, 1, (H, W, 2)).astype(np.float32)
+        mask = np.ones((H, W), bool)
+        enc = encode_flow(flow, mask)
+        cv2.imwrite(f"{root}/flow_ds/fwd_{i:06d}.png", enc)
+        cv2.imwrite(f"{root}/flow_ds/bwd_{i:06d}.png", enc)
+
+
+@pytest.mark.slow
+def test_reconstruction_end_to_end(tmp_path):
+    from localrf_tpu.train import reconstruction, render_test
+
+    scene = str(tmp_path / "scene")
+    log = str(tmp_path / "log")
+    make_scene_dir(scene)
+
+    args = config_parser(
+        [
+            "--datadir", scene,
+            "--logdir", log,
+            "--batch_size", "64",
+            "--n_views", "4",
+            "--n_init_frames", "3",
+            "--n_iters_per_frame", "6",
+            "--n_iters_reg", "3",
+            "--N_voxel_init", str(14**3),
+            "--N_voxel_final", str(20**3),
+            "--upsamp_list", "4",
+            "--update_AlphaMask_list", "5",
+            "--add_frames_every", "3",
+            "--n_overlap", "2",
+            "--n_max_frames", "6",
+            "--max_drift", "100",
+            "--test_frame_every", "4",
+            "--vis_every", "1000",
+            "--fov", "60",
+            "--scan_chunk", "4",
+            "--skip_saving_video",
+        ]
+    )
+    model, metrics = reconstruction(args)
+
+    assert os.path.isfile(f"{log}/checkpoints.th")
+    assert os.path.isfile(f"{log}/transforms.json")
+    assert os.path.isfile(f"{log}/transforms_rf.json")
+    with open(f"{log}/transforms.json") as f:
+        tr = json.load(f)
+    assert len(tr["frames"]) == model.n_frames
+    assert tr["w"] == W and tr["h"] == H
+    # test renders were written
+    assert os.path.isdir(f"{log}/test/rgb_maps")
+    pngs = [p for p in os.listdir(f"{log}/test/rgb_maps") if p.endswith(".png")]
+    assert len(pngs) >= 1
+    # smoothed-path renders
+    assert os.path.isdir(f"{log}/smooth_spline/rgb_maps")
+
+    # render-only entry restores from the checkpoint and renders again
+    args.render_only = 1
+    args.render_path = 0
+    args.logdir = log
+    render_test(args)
