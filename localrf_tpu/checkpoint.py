@@ -24,8 +24,10 @@ def _np_tree(tree):
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save_checkpoint(model, path: str):
-    """Serialize a LocalTensorfs instance (syncs the device window first)."""
+def save_checkpoint(model, path: str, extra: dict | None = None):
+    """Serialize a LocalTensorfs instance (syncs the device window first).
+    `extra` carries driver-loop state (iteration counters, dataset window)
+    for true mid-training resume."""
     from .models.local import LocalConfig
 
     model.sync_window_to_host()
@@ -66,6 +68,7 @@ def save_checkpoint(model, path: str):
         },
         "init_focal": model.init_focal,
         "win_start": model.win_start,
+        "extra": dict(extra) if extra else {},
         "schedule": {
             "is_refining": model.is_refining,
             "lr_factor": model.lr_factor,
@@ -79,7 +82,7 @@ def save_checkpoint(model, path: str):
         pickle.dump(state, f, protocol=4)
 
 
-def load_checkpoint(path: str, camera_prior=None):
+def load_checkpoint(path: str, camera_prior=None, return_extra: bool = False):
     """Rebuild a LocalTensorfs from a checkpoint file."""
     import jax.numpy as jnp
 
@@ -174,4 +177,6 @@ def load_checkpoint(path: str, camera_prior=None):
     model._wc = 64
     model._pose_dev = None
     model._build_window()
+    if return_extra:
+        return model, state.get("extra", {})
     return model

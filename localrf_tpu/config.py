@@ -128,6 +128,12 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         help="shard the ray batch over this many devices (0 = all available)",
     )
     parser.add_argument(
+        "--resume", type=int, default=0,
+        help="resume mid-training from logdir/checkpoints_tmp.th if present"
+        " (true resume incl. optimizer state — the reference only supports"
+        " re-rendering from a tmp checkpoint)",
+    )
+    parser.add_argument(
         "--scan_chunk", type=int, default=16,
         help="fuse this many train steps into one on-device lax.scan dispatch"
         " (1 = step-at-a-time, bit-exact reference scheduling)",

@@ -133,6 +133,10 @@ class LocalTensorfs:
         self._wc = 64  # capacity; grows in steps of 32
         self._pose_dev: PoseState | None = None
 
+        # --- optional ray-batch data parallelism ---
+        self.mesh = None
+        self._mesh_states_placed = False
+
         for _ in range(cfg.n_init_frames):
             self.append_frame()
 
@@ -212,6 +216,7 @@ class LocalTensorfs:
                 jnp.asarray(pad(o[f"{name}_lr"])),
             )
 
+        self._mesh_states_placed = False  # fresh arrays need re-placing
         self._pose_dev = PoseState(
             r=jnp.asarray(pad(self.r_all)),
             t=jnp.asarray(pad(self.t_all)),
@@ -432,7 +437,10 @@ class LocalTensorfs:
             return 0
         s = tf_cfg.n_samples // 6 * 2
         m = min(s, max(256, int(s * 0.45)))
-        return 0 if m >= s else int(m)
+        # compaction only pays when it removes >~half the samples (the packed
+        # lookup + top-k + index gathers cost ~1 gather-equivalents each);
+        # otherwise the dense packed cull is faster
+        return 0 if m > 0.5 * s else int(m)
 
     def _apply_post_step_events(self):
         """Upsample / occupancy refresh keyed on the pre-increment rf_iter
@@ -541,6 +549,41 @@ class LocalTensorfs:
                 break  # schedule rescale changes lists; re-plan
         return batches
 
+    def set_mesh(self, mesh) -> None:
+        """Enable ray-batch data parallelism over `mesh` (axis "data"):
+        batches are sharded along the view-major ray axis, parameters and
+        optimizer state replicated; GSPMD inserts the gradient psum inside
+        the jitted step (see parallel/sharding.py)."""
+        self.mesh = mesh
+        self._mesh_states_placed = False
+
+    def _place_batch(self, stacked: dict) -> dict:
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in stacked.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import _SHARDED_KEYS, DATA_AXIS
+
+        data = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        repl = NamedSharding(self.mesh, P())
+        out = {}
+        for k, v in stacked.items():
+            if k in _SHARDED_KEYS and v.shape[1] % self.mesh.size == 0:
+                out[k] = jax.device_put(v, data)
+            else:
+                out[k] = jax.device_put(v, repl)
+        if not self._mesh_states_placed:
+            place = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+            f = self.fields[-1]
+            f["params"] = place(f["params"])
+            f["opt"] = place(f["opt"])
+            if f["alpha_volume"] is not None:
+                f["alpha_volume"] = jax.device_put(f["alpha_volume"], repl)
+            self._pose_dev = place(self._pose_dev)
+            self.intr = place(self.intr)
+            self._mesh_states_placed = True
+        return out
+
     def run_chunk(self, batches: list[dict], optimize_poses: bool) -> bool:
         """Execute pre-planned batches as one fused lax.scan dispatch.
 
@@ -567,13 +610,14 @@ class LocalTensorfs:
                 self.rf_iter[-1] += 1
 
         stacked_batch = {
-            key: jnp.asarray(np.stack([hb[key] for hb in host_batches]))
+            key: np.stack([hb[key] for hb in host_batches])
             for key in host_batches[0]
         }
         stacked_scal = {
             key: jnp.asarray(np.stack([sc[key] for sc in scal_seq]))
             for key in scal_seq[0]
         }
+        stacked_batch = self._place_batch(stacked_batch)
         # same key stream as k sequential optimizer_step calls -> chunked
         # execution is bit-identical to step-at-a-time execution
         keys = jnp.stack([self._next_key() for _ in range(k)])
@@ -602,8 +646,11 @@ class LocalTensorfs:
         # device-side events keyed on the last joint step's pre-increment iter
         rf_iter_saved = self.rf_iter[-1]
         self.rf_iter[-1] = rf_iter_pre_last
+        had_event = self._has_post_step_event(rf_iter_pre_last)
         self._apply_post_step_events()
         self.rf_iter[-1] = rf_iter_saved
+        if had_event and self.mesh is not None:
+            self._mesh_states_placed = False  # re-place freshly created arrays
 
         return self.rf_iter[-1] >= self.n_iters - 1
 

@@ -97,8 +97,13 @@ def render_rays(
     if compact:
         sigma = jnp.where(sel_valid, sigma, 0.0)
     elif alpha_volume is not None:
-        occ = sample_alpha(alpha_volume, pts.reshape(-1, 3), cfg).reshape(r, s)
-        sigma = jnp.where(occ > 0, sigma, 0.0)
+        # dense cull via the packed-corner lookup: one uint8 gather per
+        # point, exactly equivalent to trilinear occ > 0 (see ops/occupancy)
+        packed = pack_alpha_corners(alpha_volume)
+        occ = occupancy_valid(
+            packed, alpha_volume.shape, pts_norm.reshape(-1, 3)
+        ).reshape(r, s)
+        sigma = jnp.where(occ, sigma, 0.0)
 
     # last sample excluded from density (ref: tensorBase.py:600)
     sigma = sigma.at[:, -1].set(0.0)

@@ -269,7 +269,6 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
     os.makedirs(logfolder, exist_ok=True)
     writer = _make_writer(logfolder)
 
-    model = _make_model(args, train_dataset)
     w, h = train_dataset.img_wh
 
     optimize_poses = args.lr_R_init > 0 or args.lr_t_init > 0
@@ -278,6 +277,50 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
     last_add_iter = 0
     iteration = 0
     metrics = {}
+
+    model = None
+    if getattr(args, "resume", 0):
+        for cand in (
+            f"{logfolder}/checkpoints_tmp.th",
+            f"{logfolder}/checkpoints.th",
+        ):
+            if os.path.isfile(cand):
+                camera_prior = None
+                if args.with_preprocessed_poses:
+                    camera_prior = {
+                        "rel_poses": train_dataset.rel_poses,
+                        "transforms": train_dataset.transforms,
+                    }
+                model, extra = load_checkpoint(
+                    cand, camera_prior=camera_prior, return_extra=True
+                )
+                iteration = int(extra.get("iteration", 0))
+                n_added_frames = int(extra.get("n_added_frames", 0))
+                last_add_iter = int(extra.get("last_add_iter", 0))
+                b0, b1 = extra.get("active_bounds", (0, model.n_frames))
+                train_dataset.activate_frames(
+                    b1 - train_dataset.active_frames_bounds[1]
+                )
+                if b0 > 0:
+                    train_dataset.deactivate_frames(b0)
+                print(f"Resumed from {cand} at iteration {iteration}")
+                break
+    if model is None:
+        model = _make_model(args, train_dataset)
+
+    # ray-batch data parallelism (0 = all available devices)
+    dp = getattr(args, "data_parallel", 1)
+    import jax
+
+    n_dev = len(jax.devices())
+    if dp == 0:
+        dp = n_dev
+    if dp > 1 and n_dev >= dp:
+        from .parallel.sharding import make_mesh
+
+        model.set_mesh(make_mesh(dp))
+        print(f"ray-batch data parallelism over {dp} devices")
+
     start_time = time.time()
 
     scan_chunk = max(1, getattr(args, "scan_chunk", 1))
@@ -367,14 +410,43 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
                 "active_frames_bounds/1", train_dataset.active_frames_bounds[1], iteration
             )
 
-        if iteration % args.progress_refresh_rate == 0:
+        if iteration % args.progress_refresh_rate < (
+            1 if scan_chunk <= 1 else scan_chunk
+        ):
             ips = min(args.progress_refresh_rate, iteration + 1) / (
                 time.time() - start_time
             )
             if writer is not None:
                 writer.add_scalar("train/iter_per_sec", ips, global_step=iteration)
+                writer.add_scalar(
+                    "train/rays_per_sec", ips * args.batch_size, global_step=iteration
+                )
+                # pose + field-origin wireframe (ref: train.py:529-538)
+                try:
+                    from .utils.vis import draw_poses
+
+                    poses_mtx = model.get_cam2world()
+                    t_w2rf = np.stack(model.world2rf, axis=0)
+                    rf_inv = np.concatenate(
+                        [
+                            np.tile(np.eye(3, dtype=np.float32), (len(t_w2rf), 1, 1)),
+                            -t_w2rf[..., None],
+                        ],
+                        axis=-1,
+                    )
+                    all_poses = np.concatenate([poses_mtx, rf_inv], axis=0)
+                    colours = ["C1"] * len(poses_mtx) + ["C2"] * len(rf_inv)
+                    img = draw_poses(all_poses, colours)
+                    writer.add_image(
+                        "poses/all",
+                        (np.transpose(img, (2, 0, 1)) / 255.0).astype(np.float32),
+                        iteration,
+                    )
+                except Exception:
+                    pass
             print(
                 f"Iteration {iteration:06d}: {ips:.2f} it/s"
+                f" ({ips * args.batch_size:,.0f} rays/s)"
                 f" rgb_loss={model.last_metrics.get('rgb_loss', float('nan')):.4f}"
             )
             start_time = time.time()
@@ -405,7 +477,16 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
                     writer.add_scalar("test/PSNR", psnr, global_step=iteration)
                     writer.add_scalar("test/ssim", float(np.mean(ssims)), iteration)
                 print(f"test PSNR={psnr:.2f} SSIM={np.mean(ssims):.3f}")
-            save_checkpoint(model, f"{logfolder}/checkpoints_tmp.th")
+            save_checkpoint(
+                model,
+                f"{logfolder}/checkpoints_tmp.th",
+                extra={
+                    "iteration": iteration,
+                    "n_added_frames": n_added_frames,
+                    "last_add_iter": last_add_iter,
+                    "active_bounds": tuple(train_dataset.active_frames_bounds),
+                },
+            )
 
         iteration += 1
 

@@ -98,3 +98,31 @@ def test_run_chunk_applies_upsample():
     batches = model.plan_chunk(ds, True, max_len=10)
     model.run_chunk(batches, optimize_poses=True)
     assert model.fields[-1]["cfg"].grid_size == (14, 14, 14)
+
+
+def test_run_chunk_with_mesh_matches_single_device():
+    """Ray-batch DP over an 8-device CPU mesh produces the same result as
+    single-device execution (params replicated, grads psum'd by GSPMD)."""
+    import jax
+
+    from localrf_tpu.parallel.sharding import make_mesh
+
+    assert len(jax.devices()) >= 8
+    ds1, cfg, m1 = _make()
+    ds2, _, m2 = _make()
+    m2.set_mesh(make_mesh(8))
+
+    batches1 = [ds1.sample(cfg.batch_size, False, True, n_views=cfg.n_views) for _ in range(3)]
+    batches2 = [ds2.sample(cfg.batch_size, False, True, n_views=cfg.n_views) for _ in range(3)]
+    m1.run_chunk(batches1, optimize_poses=True)
+    m2.run_chunk(batches2, optimize_poses=True)
+
+    np.testing.assert_allclose(
+        np.asarray(m2._pose_dev.t), np.asarray(m1._pose_dev.t), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.fields[-1]["params"]["density_plane_0"]),
+        np.asarray(m1.fields[-1]["params"]["density_plane_0"]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
