@@ -282,11 +282,32 @@ class LocalRFDataset(BaseDataset):
             "mask": mask,
         }
 
-    def read_meta(self):
-        n_load = min(self.frames_chunk, self.num_images - self.loaded_frames)
+    def prefetch_next_chunk(self):
+        """Start decoding the next chunk on background threads so frame
+        activation doesn't stall the training loop (the reference decodes
+        synchronously at activation time, ref: localrf_dataset.py:216-219)."""
+        if getattr(self, "_prefetch", None) is not None:
+            return
         lo = self.loaded_frames
-        with ThreadPoolExecutor() as pool:
-            all_data = list(pool.map(self._read_one, range(lo, lo + n_load)))
+        n_load = min(self.frames_chunk, self.num_images - lo)
+        if n_load <= 0:
+            return
+        pool = ThreadPoolExecutor(max_workers=8)
+        futures = [pool.submit(self._read_one, i) for i in range(lo, lo + n_load)]
+        self._prefetch = (lo, futures, pool)
+
+    def read_meta(self):
+        lo = self.loaded_frames
+        n_load = min(self.frames_chunk, self.num_images - lo)
+        pre = getattr(self, "_prefetch", None)
+        if pre is not None and pre[0] == lo:
+            _, futures, pool = pre
+            all_data = [f.result() for f in futures[:n_load]]
+            pool.shutdown(wait=False)
+            self._prefetch = None
+        else:
+            with ThreadPoolExecutor() as pool:
+                all_data = list(pool.map(self._read_one, range(lo, lo + n_load)))
         self.loaded_frames += n_load
 
         rgbs = [d["img"] for d in all_data]

@@ -749,6 +749,7 @@ class LocalTensorfs:
                     w=w,
                     h=h,
                     floater_thresh=floater_thresh,
+                    fov360=(self.cfg.fov == 360),
                     alpha_volume=f["alpha_volume"],
                 )
                 rgb = np.asarray(rgb)[: sl.stop - sl.start]

@@ -414,7 +414,7 @@ def train_chunk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "w", "h", "floater_thresh", "white_bg")
+    jax.jit, static_argnames=("cfg", "w", "h", "floater_thresh", "white_bg", "fov360")
 )
 def render_chunk(
     field_params,
@@ -428,11 +428,15 @@ def render_chunk(
     h: int,
     floater_thresh: float = 0.0,
     white_bg: bool = True,
+    fov360: bool = False,
     alpha_volume=None,
 ):
     """Deterministic eval render of one chunk against one field."""
     i, j = ids2pixel(w, h, ray_idx)
-    directions = get_ray_directions_lean(i, j, focal, center)
+    if fov360:
+        directions = get_ray_directions_360(i, j, w, h)
+    else:
+        directions = get_ray_directions_lean(i, j, focal, center)
     if cam2rf.shape[0] == 1:
         cam2rf = jnp.broadcast_to(cam2rf, (ray_idx.shape[0], 3, 4))
     rays_o, rays_d = get_rays_lean(directions, cam2rf)

@@ -202,10 +202,11 @@ def compute_density_feature(params, pts: jax.Array, cfg=None, quad=None) -> jax.
         v = VEC_MODE[i]
         if quad is not None:
             g = cfg.grid_size
+            c = params[f"density_plane_{i}"].shape[0]
             pf = quad_sample_2d(
-                quad[f"density_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)]
+                quad[f"density_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c
             )
-            lf = quad_sample_1d(quad[f"density_line_{i}"], g[v], pts[:, v])
+            lf = quad_sample_1d(quad[f"density_line_{i}"], g[v], pts[:, v], c)
         else:
             pf = grid_sample_2d(params[f"density_plane_{i}"], pts[:, (m0, m1)])
             lf = grid_sample_1d(params[f"density_line_{i}"], pts[:, v])
@@ -221,10 +222,11 @@ def compute_app_feature(params, pts: jax.Array, cfg=None, quad=None) -> jax.Arra
         v = VEC_MODE[i]
         if quad is not None:
             g = cfg.grid_size
+            c = params[f"app_plane_{i}"].shape[0]
             pf = quad_sample_2d(
-                quad[f"app_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)]
+                quad[f"app_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c
             )
-            lf = quad_sample_1d(quad[f"app_line_{i}"], g[v], pts[:, v])
+            lf = quad_sample_1d(quad[f"app_line_{i}"], g[v], pts[:, v], c)
         else:
             pf = grid_sample_2d(params[f"app_plane_{i}"], pts[:, (m0, m1)])
             lf = grid_sample_1d(params[f"app_line_{i}"], pts[:, v])

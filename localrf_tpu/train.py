@@ -385,6 +385,9 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
             if should_add_frame:
                 model.append_frame()
                 train_dataset.activate_frames()
+                # overlap the next chunk's decode with training
+                if hasattr(train_dataset, "prefetch_next_chunk"):
+                    train_dataset.prefetch_next_chunk()
                 n_added_frames += 1
                 last_add_iter = iteration
 

@@ -92,8 +92,8 @@ def test_quad_plane_matches_grid_sample(rng):
     plane = rng.normal(size=(c, h, w)).astype(np.float32)
     coords = rng.uniform(-1.3, 1.3, (p, 2)).astype(np.float32)
     quad = lg.build_quad_plane(jnp.asarray(plane))
-    assert quad.shape == (h * w, 4 * c)
-    fast = np.asarray(lg.quad_sample_2d(quad, h, w, jnp.asarray(coords)))
+    assert quad.shape == (h * w, 4 * c)  # small table: no lane padding
+    fast = np.asarray(lg.quad_sample_2d(quad, h, w, jnp.asarray(coords), c))
     ref = np.asarray(lg.grid_sample_2d(jnp.asarray(plane), jnp.asarray(coords)))
     np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
 
@@ -105,7 +105,7 @@ def test_quad_line_matches_grid_sample(rng):
     coords = rng.uniform(-1.2, 1.2, (p,)).astype(np.float32)
     quad = lg.build_quad_line(jnp.asarray(line))
     assert quad.shape == (d, 2 * c)
-    fast = np.asarray(lg.quad_sample_1d(quad, d, jnp.asarray(coords)))
+    fast = np.asarray(lg.quad_sample_1d(quad, d, jnp.asarray(coords), c))
     ref = np.asarray(lg.grid_sample_1d(jnp.asarray(line), jnp.asarray(coords)))
     np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-5)
 
@@ -120,6 +120,6 @@ def test_quad_gradients_match(rng):
 
     g_ref = jax.grad(lambda pl: jnp.sum(lg.grid_sample_2d(pl, coords) ** 2))(plane)
     g_fast = jax.grad(
-        lambda pl: jnp.sum(lg.quad_sample_2d(lg.build_quad_plane(pl), h, w, coords) ** 2)
+        lambda pl: jnp.sum(lg.quad_sample_2d(lg.build_quad_plane(pl), h, w, coords, c) ** 2)
     )(plane)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
