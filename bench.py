@@ -55,7 +55,10 @@ def build_state(grid: int):
         WH=(W, H),
         n_views=N_VIEWS,
         batch_size=BATCH,
-        tensorf=TensorfConfig(grid_size=(grid, grid, grid), app_top_k=APP_TOP_K),
+        tensorf=TensorfConfig(
+            grid_size=(grid, grid, grid), app_top_k=APP_TOP_K,
+            pallas_composite=True,
+        ),
     )
     model = LocalTensorfs(cfg)
     # pretend mid-refinement so lr decay paths are active

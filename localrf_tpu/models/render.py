@@ -108,8 +108,13 @@ def render_rays(
     # last sample excluded from density (ref: tensorBase.py:600)
     sigma = sigma.at[:, -1].set(0.0)
 
-    alpha = 1.0 - jnp.exp(-sigma * dists * cfg.distance_scale)
-    weight, _ = alpha2weights(alpha)
+    if cfg.pallas_composite and floater_thresh == 0.0:
+        from ..ops.pallas.composite import fused_weights
+
+        weight = fused_weights(sigma, dists, cfg.distance_scale)
+    else:
+        alpha = 1.0 - jnp.exp(-sigma * dists * cfg.distance_scale)
+        weight, _ = alpha2weights(alpha)
 
     acc_map = jnp.sum(weight, axis=-1)
     depth_map = jnp.sum(weight * z_vals, axis=-1) / viewdirs_norm[..., 0]

@@ -57,6 +57,9 @@ class TensorfConfig:
     # single-index quad-packed gathers (see ops/grid.py) — numerically
     # identical to the reference bilinear path; False = plain XLA gathers
     fast_gather: bool = True
+    # hand-written Pallas kernel for the fused alpha/transmittance/weights
+    # scan with analytic VJP (ops/pallas/composite.py)
+    pallas_composite: bool = False
     # occupancy compaction (see ops/occupancy.py): with an alpha volume
     # present, compute density only at the first occ_m occupied samples per
     # ray (static shape). 0 = dense masked compute. Exact vs the reference
