@@ -134,6 +134,11 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " re-rendering from a tmp checkpoint)",
     )
     parser.add_argument(
+        "--pixel_pool", type=int, default=0,
+        help="keep the active window's pixel data device-resident and gather"
+        " training batches on device (host ships only sample indices)",
+    )
+    parser.add_argument(
         "--scan_chunk", type=int, default=16,
         help="fuse this many train steps into one on-device lax.scan dispatch"
         " (1 = step-at-a-time, bit-exact reference scheduling)",

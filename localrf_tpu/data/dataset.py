@@ -96,6 +96,7 @@ class BaseDataset:
         is_refining: bool,
         optimize_poses: bool,
         n_views: int = 16,
+        values: bool = True,
     ) -> dict:
         b0, b1 = self.active_frames_bounds
         active_test_mask = self.test_mask[b0:b1]
@@ -123,6 +124,15 @@ class BaseDataset:
         idx = idx + view_ids[..., None] * self.n_px_per_frame
         idx = idx.reshape(-1)
         idx_sample = idx - b0 * self.n_px_per_frame
+
+        if not values:
+            # index-only batch: pixel values are gathered on device from the
+            # pixel pool (data/pool.py)
+            return {
+                "idx": idx,
+                "view_ids": view_ids,
+                "train_test_poses": train_test_poses,
+            }
 
         return {
             "rgbs": self.all_rgbs[idx_sample],

@@ -137,6 +137,9 @@ class LocalTensorfs:
         self.mesh = None
         self._mesh_states_placed = False
 
+        # --- optional device-resident pixel pool ---
+        self.pool = None
+
         for _ in range(cfg.n_init_frames):
             self.append_frame()
 
@@ -534,7 +537,8 @@ class LocalTensorfs:
             sim_n_iters = int(c.n_iters_per_frame * n_tf)
         while len(batches) < max_len:
             batch = dataset.sample(
-                c.batch_size, self.is_refining, optimize_poses, n_views=c.n_views
+                c.batch_size, self.is_refining, optimize_poses,
+                n_views=c.n_views, values=self.pool is None,
             )
             batches.append(batch)
             if batch["train_test_poses"]:
@@ -584,6 +588,11 @@ class LocalTensorfs:
             self._mesh_states_placed = True
         return out
 
+    def attach_pool(self, pool) -> None:
+        """Use a DevicePixelPool: batches become int32 index streams and the
+        pixel values are gathered on device inside the fused chunk."""
+        self.pool = pool
+
     def run_chunk(self, batches: list[dict], optimize_poses: bool) -> bool:
         """Execute pre-planned batches as one fused lax.scan dispatch.
 
@@ -596,6 +605,9 @@ class LocalTensorfs:
         scal_seq: list[dict] = []
         host_batches: list[dict] = []
         rf_iter_pre_last = self.rf_iter[-1]
+        use_pool = self.pool is not None
+        if use_pool:
+            self.pool.sync()
 
         for b in batches:
             pose_only = bool(b["train_test_poses"])
@@ -603,7 +615,18 @@ class LocalTensorfs:
                 self._schedule_entry()
                 rf_iter_pre_last = self.rf_iter[-1]
             scal_seq.append(self._scalars_py(pose_only))
-            hb = self._host_batch(b)
+            if use_pool:
+                hb = {
+                    "px": np.asarray(
+                        np.asarray(b["idx"]) % self.pool.n_px, np.int32
+                    ),
+                    "slots": self.pool.slots_for(b["view_ids"]),
+                    "view_ids": (
+                        np.asarray(b["view_ids"], np.int64) - self.win_start
+                    ).astype(np.int32),
+                }
+            else:
+                hb = self._host_batch(b)
             hb["gate"] = self._gate()
             host_batches.append(hb)
             if not pose_only and self.is_refining:
@@ -617,7 +640,6 @@ class LocalTensorfs:
             key: jnp.asarray(np.stack([sc[key] for sc in scal_seq]))
             for key in scal_seq[0]
         }
-        stacked_batch = self._place_batch(stacked_batch)
         # same key stream as k sequential optimizer_step calls -> chunked
         # execution is bit-identical to step-at-a-time execution
         keys = jnp.stack([self._next_key() for _ in range(k)])
@@ -625,17 +647,36 @@ class LocalTensorfs:
         f = self.fields[-1]
         statics = self._statics(optimize_poses)
         field_state = FieldState(f["params"], f["opt"])
-        new_field, new_pose, new_intr, metrics = train_chunk(
-            field_state,
-            self._pose_dev,
-            self.intr,
-            stacked_batch,
-            stacked_scal,
-            statics,
-            keys,
-            k,
-            f["alpha_volume"],
-        )
+        if use_pool:
+            from .step import train_chunk_pooled
+
+            stacked_batch = {k2: jnp.asarray(v) for k2, v in stacked_batch.items()}
+            new_field, new_pose, new_intr, metrics = train_chunk_pooled(
+                field_state,
+                self._pose_dev,
+                self.intr,
+                self.pool.arrays,
+                stacked_batch,
+                stacked_scal,
+                statics,
+                keys,
+                k,
+                self.pool.n_px,
+                f["alpha_volume"],
+            )
+        else:
+            stacked_batch = self._place_batch(stacked_batch)
+            new_field, new_pose, new_intr, metrics = train_chunk(
+                field_state,
+                self._pose_dev,
+                self.intr,
+                stacked_batch,
+                stacked_scal,
+                statics,
+                keys,
+                k,
+                f["alpha_volume"],
+            )
         f["params"], f["opt"] = new_field.params, new_field.opt
         self._pose_dev = new_pose
         self.intr = new_intr

@@ -413,6 +413,52 @@ def train_chunk(
     return field, pose, intr, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("statics", "n_steps", "n_px"))
+def train_chunk_pooled(
+    field: FieldState,
+    pose: PoseState,
+    intr: IntrState,
+    pool: dict,  # device pixel pool arrays, flat [capacity * n_px, C]
+    index_seq: dict,  # {"px" [K,B], "slots" [K,V], "view_ids" [K,V], "gate" [K,Wc]}
+    scalars_seq: dict,
+    statics: StepStatics,
+    keys: jax.Array,
+    n_steps: int,
+    n_px: int,
+    alpha_volume=None,
+):
+    """Fused executor over the device-resident pixel pool: batches are
+    gathered from HBM inside the scan body, so the host ships only int32
+    sample indices per step (see data/pool.py)."""
+    s = statics
+
+    def body(carry, xs):
+        f, p, i = carry
+        idx, scalars, key = xs
+        rows = (
+            jnp.repeat(idx["slots"], s.px_per_view) * n_px + idx["px"]
+        )  # [B] flat pool rows
+        batch = {
+            "ray_idx": idx["px"],
+            "view_ids": idx["view_ids"],
+            "gate": idx["gate"],
+            "rgbs": pool["rgbs"][rows],
+            "loss_weights": pool["loss_weights"][rows][:, None],
+        }
+        for k in ("invdepths", "fwd_flow", "bwd_flow", "fwd_mask", "bwd_mask"):
+            if k in pool:
+                batch[k] = pool[k][rows]
+        f, p, i, metrics = train_core(
+            f, p, i, batch, scalars, statics, key, alpha_volume
+        )
+        return (f, p, i), metrics
+
+    (field, pose, intr), metrics = jax.lax.scan(
+        body, (field, pose, intr), (index_seq, scalars_seq, keys), length=n_steps
+    )
+    return field, pose, intr, metrics
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "w", "h", "floater_thresh", "white_bg", "fov360")
 )

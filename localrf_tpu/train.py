@@ -322,6 +322,13 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
         model.set_mesh(make_mesh(dp))
         print(f"ray-batch data parallelism over {dp} devices")
 
+    if getattr(args, "pixel_pool", 0) and getattr(args, "scan_chunk", 1) > 1:
+        from .data.pool import DevicePixelPool
+
+        capacity = args.n_max_frames + args.n_overlap + 16
+        model.attach_pool(DevicePixelPool(train_dataset, capacity))
+        print(f"device pixel pool: {capacity} frame slots")
+
     start_time = time.time()
 
     scan_chunk = max(1, getattr(args, "scan_chunk", 1))

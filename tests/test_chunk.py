@@ -126,3 +126,48 @@ def test_run_chunk_with_mesh_matches_single_device():
         rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_pooled_chunk_matches_host_batches():
+    """Device-pool execution == host-batch execution (same RNG streams)."""
+    from localrf_tpu.data.pool import DevicePixelPool
+
+    ds1, cfg, m1 = _make()
+    ds2, _, m2 = _make()
+    m2.attach_pool(DevicePixelPool(ds2, capacity=10))
+
+    batches1 = [ds1.sample(cfg.batch_size, False, True, n_views=cfg.n_views) for _ in range(4)]
+    batches2 = [
+        ds2.sample(cfg.batch_size, False, True, n_views=cfg.n_views, values=False)
+        for _ in range(4)
+    ]
+    for b1, b2 in zip(batches1, batches2):
+        np.testing.assert_array_equal(b1["idx"], b2["idx"])
+
+    m1.run_chunk(batches1, optimize_poses=True)
+    m2.run_chunk(batches2, optimize_poses=True)
+
+    np.testing.assert_allclose(
+        np.asarray(m2._pose_dev.t), np.asarray(m1._pose_dev.t), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.fields[-1]["params"]["density_plane_0"]),
+        np.asarray(m1.fields[-1]["params"]["density_plane_0"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_pool_slot_recycling():
+    from localrf_tpu.data.pool import DevicePixelPool
+
+    ds, cfg, model = _make()
+    pool = DevicePixelPool(ds, capacity=8)
+    pool.sync()
+    assert len(pool.slot_of_frame) == ds.active_frames_bounds[1]
+    # slide the window: old frames release slots, new frames claim them
+    ds.activate_frames(2)
+    ds.deactivate_frames(3)
+    pool.sync()
+    b0, b1 = ds.active_frames_bounds
+    assert set(pool.slot_of_frame) == set(range(b0, b1))

@@ -64,6 +64,7 @@ def test_reconstruction_end_to_end(tmp_path):
             "--vis_every", "1000",
             "--fov", "60",
             "--scan_chunk", "4",
+            "--pixel_pool", "1",
             "--skip_saving_video",
         ]
     )
