@@ -149,6 +149,18 @@ def load_checkpoint(path: str, camera_prior=None, return_extra: bool = False):
     if model.fields[-1]["opt"] is None:
         model.fields[-1]["opt"] = pytree_adam_init(model.fields[-1]["params"])
 
+    # mesh/pool attachments don't survive serialization
+    model.mesh = None
+    model._mesh_states_placed = False
+    model.pool = None
+
+    # restore the per-stage occupancy-compaction size (perf-only)
+    for fdict in model.fields:
+        fdict["cfg"] = dataclasses.replace(
+            fdict["cfg"],
+            occ_m=model._occ_m(fdict["cfg"], fdict["alpha_volume"] is not None),
+        )
+
     model.world2rf = [np.asarray(w) for w in state["world2rf"]]
     model.rf_iter = list(state["rf_iter"])
 

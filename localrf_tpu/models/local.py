@@ -791,6 +791,7 @@ class LocalTensorfs:
                     h=h,
                     floater_thresh=floater_thresh,
                     fov360=(self.cfg.fov == 360),
+                    refine=jnp.asarray(1.0 if self.is_refining else 0.0),
                     alpha_volume=f["alpha_volume"],
                 )
                 rgb = np.asarray(rgb)[: sl.stop - sl.start]

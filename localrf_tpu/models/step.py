@@ -475,6 +475,7 @@ def render_chunk(
     floater_thresh: float = 0.0,
     white_bg: bool = True,
     fov360: bool = False,
+    refine=1.0,
     alpha_volume=None,
 ):
     """Deterministic eval render of one chunk against one field."""
@@ -488,7 +489,7 @@ def render_chunk(
     rays_o, rays_d = get_rays_lean(directions, cam2rf)
     rgb, depth = render_rays(
         field_params, cfg, rays_o, rays_d,
-        is_train=False, white_bg=white_bg, refine=1.0,
+        is_train=False, white_bg=white_bg, refine=refine,
         floater_thresh=floater_thresh, alpha_volume=alpha_volume,
     )
     ij = jnp.stack([i, j], axis=-1)
