@@ -134,6 +134,15 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " re-rendering from a tmp checkpoint)",
     )
     parser.add_argument(
+        "--occ_ratio", type=float, default=0.45,
+        help="occupancy compaction: fraction of march samples kept once an"
+        " alpha volume exists (exact while < that many samples are occupied)",
+    )
+    parser.add_argument(
+        "--occ_min", type=int, default=256,
+        help="occupancy compaction floor (samples per ray)",
+    )
+    parser.add_argument(
         "--pixel_pool", type=int, default=0,
         help="keep the active window's pixel data device-resident and gather"
         " training batches on device (host ships only sample indices)",

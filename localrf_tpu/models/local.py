@@ -71,6 +71,10 @@ class LocalConfig:
     # batch shape
     n_views: int = 16
     batch_size: int = 4096
+    # occupancy compaction tuning (see _occ_m): fraction of samples kept and
+    # its floor; compaction engages only when it removes > half the samples
+    occ_ratio: float = 0.45
+    occ_min: int = 256
     # field template (grid_size = initial resolution for every new field)
     tensorf: TensorfConfig = dataclasses.field(
         default_factory=lambda: TensorfConfig(grid_size=(64, 64, 64))
@@ -439,7 +443,7 @@ class LocalTensorfs:
         if not has_alpha:
             return 0
         s = tf_cfg.n_samples // 6 * 2
-        m = min(s, max(256, int(s * 0.45)))
+        m = min(s, max(self.cfg.occ_min, int(s * self.cfg.occ_ratio)))
         # compaction only pays when it removes >~half the samples (the packed
         # lookup + top-k + index gathers cost ~1 gather-equivalents each);
         # otherwise the dense packed cull is faster

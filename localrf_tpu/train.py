@@ -220,6 +220,8 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         l1_weight=args.L1_weight,
         n_views=args.n_views,
         batch_size=args.batch_size,
+        occ_ratio=getattr(args, "occ_ratio", 0.45),
+        occ_min=getattr(args, "occ_min", 256),
         tensorf=tf_cfg,
     )
     return LocalTensorfs(cfg, camera_prior)

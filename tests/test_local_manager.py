@@ -129,3 +129,44 @@ def test_cam2world_shapes(setup):
     # rotations orthonormal
     rtr = np.einsum("bij,bik->bjk", c2w[:, :3, :3], c2w[:, :3, :3])
     np.testing.assert_allclose(rtr, np.tile(np.eye(3), (model.n_frames, 1, 1)), atol=1e-4)
+
+
+def test_window_capacity_growth():
+    """Appending past the 64-slot window capacity grows it in 32-steps and
+    training still runs."""
+    rng = np.random.default_rng(5)
+    rgbs = rng.uniform(0, 1, (80, H, W, 3)).astype(np.float32)
+    ds = SyntheticDataset(rgbs, "train", n_init_frames=70, test_frame_every=0,
+                          frames_chunk=80)
+    cfg = LocalConfig(
+        fov=60.0, n_init_frames=70, WH=(W, H), n_views=4, batch_size=64,
+        tensorf=TensorfConfig(grid_size=(12, 12, 12)),
+        loss_flow_weight=0.0, loss_depth_weight=0.0,
+    )
+    model = LocalTensorfs(cfg)
+    assert model._wc >= 70 and model._wc % 32 == 0
+    batch = ds.sample(cfg.batch_size, False, True, n_views=cfg.n_views)
+    model.optimizer_step(batch, optimize_poses=True)
+    assert np.isfinite(model.last_metrics["total_loss"])
+    # gates cover exactly the window
+    assert model._gate().shape == (model._wc,)
+
+
+def test_seed_determinism():
+    """Same seed + same data -> bit-identical training trajectories."""
+    results = []
+    for _ in range(2):
+        rng = np.random.default_rng(9)
+        rgbs = rng.uniform(0, 1, (6, H, W, 3)).astype(np.float32)
+        ds = SyntheticDataset(rgbs, "train", n_init_frames=5, test_frame_every=0)
+        cfg = LocalConfig(
+            fov=60.0, n_init_frames=5, WH=(W, H), n_views=4, batch_size=64,
+            tensorf=TensorfConfig(grid_size=(12, 12, 12)),
+            loss_flow_weight=0.0, loss_depth_weight=0.0,
+        )
+        model = LocalTensorfs(cfg)
+        for _ in range(3):
+            b = ds.sample(cfg.batch_size, False, True, n_views=cfg.n_views)
+            model.optimizer_step(b, optimize_poses=True)
+        results.append(np.asarray(model.fields[-1]["params"]["density_plane_0"]))
+    np.testing.assert_array_equal(results[0], results[1])
