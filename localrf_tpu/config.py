@@ -134,6 +134,12 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " re-rendering from a tmp checkpoint)",
     )
     parser.add_argument(
+        "--app_top_k", type=int, default=128,
+        help="shade appearance only at the top-K samples per ray by"
+        " compositing weight (static-shape analog of the reference's"
+        " weight>thres masking; 0 = dense)",
+    )
+    parser.add_argument(
         "--occ_ratio", type=float, default=0.45,
         help="occupancy compaction: fraction of march samples kept once an"
         " alpha volume exists (exact while < that many samples are occupied)",

@@ -170,3 +170,30 @@ def test_seed_determinism():
             model.optimizer_step(b, optimize_poses=True)
         results.append(np.asarray(model.fields[-1]["params"]["density_plane_0"]))
     np.testing.assert_array_equal(results[0], results[1])
+
+
+def test_frozen_poses_config1():
+    """BASELINE config #1: single field, frozen poses, photometric only —
+    poses must stay bit-identical while the field trains."""
+    rng = np.random.default_rng(13)
+    rgbs = rng.uniform(0, 1, (5, H, W, 3)).astype(np.float32)
+    ds = SyntheticDataset(rgbs, "train", n_init_frames=5, test_frame_every=0)
+    cfg = LocalConfig(
+        fov=60.0, n_init_frames=5, WH=(W, H), n_views=4, batch_size=64,
+        tensorf=TensorfConfig(grid_size=(12, 12, 12)),
+        loss_flow_weight=0.0, loss_depth_weight=0.0, lr_exposure_init=0.0,
+    )
+    model = LocalTensorfs(cfg)
+    model.sync_window_to_host()
+    r0, t0 = model.r_all.copy(), model.t_all.copy()
+    p0 = np.asarray(model.fields[-1]["params"]["density_plane_0"])
+    for _ in range(3):
+        b = ds.sample(cfg.batch_size, False, False, n_views=cfg.n_views)
+        assert not b["train_test_poses"]
+        model.optimizer_step(b, optimize_poses=False)
+    model.sync_window_to_host()
+    np.testing.assert_array_equal(model.r_all, r0)
+    np.testing.assert_array_equal(model.t_all, t0)
+    assert not np.array_equal(
+        np.asarray(model.fields[-1]["params"]["density_plane_0"]), p0
+    )

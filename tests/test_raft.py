@@ -90,3 +90,32 @@ def test_cycle_consistency_mask():
     bwd_bad = np.full((h, w, 2), 30.0, np.float32)
     fm2, _ = compute_fwdbwd_mask(fwd, bwd_bad)
     assert not fm2.any()
+
+
+def test_run_flow_cli_end_to_end(tmp_path, monkeypatch, rng):
+    """The flow preprocessing CLI writes decodable flow_ds/ + flow_vis/
+    outputs (random RAFT weights via a patched checkpoint converter)."""
+    import os
+
+    cv2 = pytest.importorskip("cv2")
+    from localrf_tpu.data.flow_io import decode_flow
+    from localrf_tpu.preprocess import run_flow as rf
+
+    scene = tmp_path / "scene"
+    os.makedirs(scene / "images")
+    for i in range(3):
+        img = (rng.uniform(0, 255, (40, 48, 3))).astype(np.uint8)
+        cv2.imwrite(str(scene / "images" / f"{i:06d}.jpg"), img)
+
+    monkeypatch.setattr(
+        "localrf_tpu.preprocess.convert.convert_raft_checkpoint",
+        lambda path: init_raft(jax.random.PRNGKey(0)),
+    )
+    rf.main(["--data_dir", str(scene), "--iters", "2"])
+
+    enc = cv2.imread(str(scene / "flow_ds" / "fwd_000001.png"), cv2.IMREAD_UNCHANGED)
+    assert enc is not None and enc.dtype == np.uint16 and enc.shape[-1] == 3
+    flow, mask = decode_flow(enc)
+    assert np.all(np.isfinite(flow))
+    assert (scene / "flow_vis" / "fwd_000001.jpg").exists()
+    assert (scene / "flow_ds" / "bwd_000000.png").exists()
