@@ -33,11 +33,12 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", required=True)
-    parser.add_argument("--backend", default="transformers",
-                        choices=["transformers", "torchscript"])
+    parser.add_argument("--backend", default="jax",
+                        choices=["jax", "transformers", "torchscript"])
     parser.add_argument("--model_dir", default="weights/dpt-large",
                         help="local HF model dir (e.g. Intel/dpt-large snapshot)")
     parser.add_argument("--script_path", default="weights/dpt_scripted.pt")
+    parser.add_argument("--size", type=int, default=384)
     args = parser.parse_args(argv)
 
     img_dir = os.path.join(args.data_dir, "images")
@@ -45,7 +46,26 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     names = sorted(os.listdir(img_dir))
 
-    if args.backend == "transformers":
+    if args.backend == "jax":
+        # our TPU-native DPT (weights converted from the local HF snapshot)
+        import jax
+        import jax.numpy as jnp
+
+        from .dpt import dpt_apply, load_dpt_checkpoint
+
+        params, cfg = load_dpt_checkpoint(args.model_dir)
+        params = jax.tree.map(jnp.asarray, params)
+        apply_jit = jax.jit(lambda p, x: dpt_apply(p, x, cfg))
+        s = args.size
+
+        def infer(img):
+            x = cv2.resize(img, (s, s), interpolation=cv2.INTER_CUBIC)
+            x = (x.astype(np.float32) / 255.0 - 0.5) / 0.5
+            out = np.asarray(apply_jit(params, jnp.asarray(x[None])))[0]
+            return cv2.resize(out, (img.shape[1], img.shape[0]),
+                              interpolation=cv2.INTER_CUBIC)
+
+    elif args.backend == "transformers":
         import torch
         from transformers import DPTForDepthEstimation, DPTImageProcessor
 

@@ -577,6 +577,20 @@ def main():
     args = config_parser()
     print(args)
     np.random.seed(20211202)
+
+    # persistent XLA compilation cache: the coarse-to-fine schedule has ~6
+    # compile buckets per run; cache them across process restarts
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "LOCALRF_JIT_CACHE", os.path.expanduser("~/.cache/localrf_tpu_jit")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
+
     if args.render_only:
         render_test(args)
     else:
