@@ -30,6 +30,7 @@ def render(
     train_dataset=None,
     world2rf=None,
     img_format: str = "jpg",
+    annotate: bool = False,
     save_raw_depth: bool = False,
     start: int = 0,
     floater_thresh: float = 0.0,
@@ -151,6 +152,21 @@ def render(
         rgb_map = rgb_map.reshape(h, w, 3)
         depth_map = depth_map.reshape(h, w)
         depth_map_vis, _ = visualize_depth(depth_map, [0, 5])
+
+        if annotate:
+            # frame id + contributing fields overlay (ref: renderer.py:131-142)
+            img8 = (rgb_map * 255).astype(np.uint8).copy()
+            weights = local_tensorfs.blending_weights[int(view_ids[0])]
+            rf_ids = np.nonzero(weights)[0].tolist()
+            wvals = [round(float(weights[r]), 1) for r in rf_ids]
+            for text, ypos in (
+                (f"id: {idx}", h - 70),
+                (f"RFs: {rf_ids}", h - 40),
+                (f"W: {wvals}", h - 10),
+            ):
+                cv2.putText(img8, text, (1, ypos), cv2.FONT_HERSHEY_SIMPLEX,
+                            0.8, (255, 255, 255), 2, cv2.LINE_AA)
+            rgb_map = img8.astype(np.float32) / 255
 
         all_poses = np.concatenate([poses_mtx, poses_mtx[min(idx, len(poses_mtx) - 1)][None]], 0)
         colours = ["C1"] * poses_mtx.shape[0] + ["C2"]
