@@ -336,6 +336,20 @@ def tv_loss_app(params) -> jax.Array:
     return total
 
 
+def vector_comp_diffs(params) -> jax.Array:
+    """Mean |off-diagonal| of the line-factor Gram matrices — the reference's
+    component-orthogonality diagnostic (ref: models/tensoRF.py:66-81)."""
+    total = 0.0
+    for kind in ("density", "app"):
+        for i in range(3):
+            line = params[f"{kind}_line_{i}"]  # [C, D]
+            gram = line @ line.T
+            c = gram.shape[0]
+            off = gram * (1.0 - jnp.eye(c, dtype=gram.dtype))
+            total = total + jnp.sum(jnp.abs(off)) / (c * (c - 1))
+    return total
+
+
 def density_l1(params, cfg: TensorfConfig) -> jax.Array:
     """mean sqrt(density) over the full outer-product grid.
 

@@ -89,3 +89,38 @@ def test_reconstruction_end_to_end(tmp_path):
     args.render_path = 0
     args.logdir = log
     render_test(args)
+
+
+def test_renderer_annotate(tmp_path):
+    """The annotate overlay path runs and writes frames."""
+    import numpy as np
+
+    from localrf_tpu.data.dataset import SyntheticDataset
+    from localrf_tpu.models.local import LocalConfig, LocalTensorfs
+    from localrf_tpu.models.tensorf import TensorfConfig
+    from localrf_tpu.renderer import render
+
+    rng = np.random.default_rng(2)
+    rgbs = rng.uniform(0, 1, (6, H, W, 3)).astype(np.float32)
+    train_ds = SyntheticDataset(rgbs, "train", n_init_frames=6, test_frame_every=4)
+    test_ds = SyntheticDataset(rgbs, "test", n_init_frames=6, test_frame_every=4)
+    cfg = LocalConfig(
+        fov=60.0, n_init_frames=6, WH=(W, H), n_views=4, batch_size=64,
+        tensorf=TensorfConfig(grid_size=(12, 12, 12)),
+        loss_flow_weight=0.0, loss_depth_weight=0.0,
+    )
+    model = LocalTensorfs(cfg)
+
+    class A:
+        batch_size = W * H
+        device = "cpu"
+
+    out = render(
+        test_ds, model.get_cam2world(), model, A(), w=W, h=H,
+        save_path=str(tmp_path), save_frames=True, test=True,
+        train_dataset=train_ds, img_format="png", annotate=True,
+    )
+    metrics = out[-1]
+    assert len(metrics) >= 1
+    import os
+    assert os.path.isdir(f"{tmp_path}/rgb_maps")

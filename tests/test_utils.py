@@ -57,3 +57,33 @@ def test_smooth_poses_spline_shape_and_orthonormality(rng):
     def jerk(p):
         return np.abs(np.diff(p[:, 0, 3], 2)).mean()
     assert jerk(sm) <= jerk(poses) * 1.2
+
+
+def test_throughput_counter():
+    import time
+
+    from localrf_tpu.utils.profiling import Throughput
+
+    t = Throughput(batch_size=4096)
+    t.add(10)
+    time.sleep(0.05)
+    assert t.it_per_sec > 0
+    # ratio within tolerance (each property re-reads the clock)
+    assert 0.9 * 4096 < t.rays_per_sec / t.it_per_sec < 1.1 * 4096
+
+
+def test_vector_comp_diffs():
+    import jax
+    from localrf_tpu.models.tensorf import TensorfConfig, init_tensorf, vector_comp_diffs
+
+    params = init_tensorf(jax.random.PRNGKey(0), TensorfConfig(grid_size=(10, 10, 10)))
+    v = float(vector_comp_diffs(params))
+    assert np.isfinite(v) and v > 0
+    # orthogonal lines -> zero off-diagonal energy
+    import jax.numpy as jnp
+    for kind in ("density", "app"):
+        for i in range(3):
+            c, d = params[f"{kind}_line_{i}"].shape
+            eye = jnp.eye(c, d)
+            params[f"{kind}_line_{i}"] = eye
+    assert float(vector_comp_diffs(params)) < 1e-6
