@@ -60,6 +60,10 @@ class TensorfConfig:
     # hand-written Pallas kernel for the fused alpha/transmittance/weights
     # scan with analytic VJP (ops/pallas/composite.py)
     pallas_composite: bool = False
+    # route line-factor backward through the sort-free MXU segment-sum
+    # (ops/pallas/segsum.py): ~2x faster than XLA's sort-based scatter for
+    # line-sized tables, at MXU f32 accumulation precision
+    matmul_segsum: bool = False
     # occupancy compaction (see ops/occupancy.py): with an alpha volume
     # present, compute density only at the first occ_m occupied samples per
     # ray (static shape). 0 = dense masked compute. Exact vs the reference
@@ -209,7 +213,9 @@ def compute_density_feature(params, pts: jax.Array, cfg=None, quad=None) -> jax.
             pf = quad_sample_2d(
                 quad[f"density_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c
             )
-            lf = quad_sample_1d(quad[f"density_line_{i}"], g[v], pts[:, v], c)
+            lf = quad_sample_1d(
+                quad[f"density_line_{i}"], g[v], pts[:, v], c, cfg.matmul_segsum
+            )
         else:
             pf = grid_sample_2d(params[f"density_plane_{i}"], pts[:, (m0, m1)])
             lf = grid_sample_1d(params[f"density_line_{i}"], pts[:, v])
@@ -229,7 +235,9 @@ def compute_app_feature(params, pts: jax.Array, cfg=None, quad=None) -> jax.Arra
             pf = quad_sample_2d(
                 quad[f"app_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c
             )
-            lf = quad_sample_1d(quad[f"app_line_{i}"], g[v], pts[:, v], c)
+            lf = quad_sample_1d(
+                quad[f"app_line_{i}"], g[v], pts[:, v], c, cfg.matmul_segsum
+            )
         else:
             pf = grid_sample_2d(params[f"app_plane_{i}"], pts[:, (m0, m1)])
             lf = grid_sample_1d(params[f"app_line_{i}"], pts[:, v])

@@ -175,12 +175,23 @@ def quad_sample_2d(
     return top * (1.0 - wy) + bot * wy
 
 
-def quad_sample_1d(quad: jax.Array, d: int, coords: jax.Array, c: int) -> jax.Array:
-    """Linear sample from a quad-packed line. coords [P] in [-1, 1]."""
+def quad_sample_1d(
+    quad: jax.Array, d: int, coords: jax.Array, c: int, segsum: bool = False
+) -> jax.Array:
+    """Linear sample from a quad-packed line. coords [P] in [-1, 1].
+
+    segsum=True routes the backward through the sort-free MXU segment-sum
+    (2x faster than XLA's sort-based scatter for line-sized tables, at MXU
+    f32 accumulation precision — see ops/pallas/segsum.py)."""
     x = _unnormalize(coords, d)
     x0 = jnp.floor(x).astype(jnp.int32)
     w1 = (x - x0.astype(x.dtype))[:, None]
-    rows = jnp.take(quad, x0, axis=0)  # [P, >=2C]
+    if segsum:
+        from .pallas.segsum import take_rows
+
+        rows = take_rows(quad, x0)
+    else:
+        rows = jnp.take(quad, x0, axis=0)  # [P, >=2C]
     return rows[:, :c] * (1.0 - w1) + rows[:, c : 2 * c] * w1
 
 

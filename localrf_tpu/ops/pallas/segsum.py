@@ -1,0 +1,99 @@
+"""Pallas TPU kernel: sort-free segment-sum via on-the-fly one-hot matmuls.
+
+XLA lowers every scatter-add to a full index sort (see PERF.md) — ~16 ns per
+index on v5e. For tables that tile into VMEM, the same reduction is a chain
+of MXU matmuls with the one-hot matrix GENERATED IN VMEM (never hitting
+HBM):
+
+    out[T, C] = sum_p onehot(idx_p)[T] * g_p[C]
+              = sum over P-chunks of onehot_chunk^T @ g_chunk
+
+The kernel grid is (T_tiles, P_chunks) with the output block revisited
+across the inner P dimension, so each [T_TILE, C] accumulator stays resident
+in VMEM for the whole P stream. Used as the custom VJP of row gathers into
+small tables (`take_rows`): line factors at every stage, plane factors at
+coarse grids.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_TILE = 512
+P_CHUNK = 1024
+# largest table (rows) routed to the matmul segment-sum; beyond this the
+# repeated g streaming across T tiles loses to XLA's sort-based scatter
+MAX_ROWS = 32768
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _segsum_kernel(idx_ref, g_ref, out_ref, *, t_tile: int):
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = pl.program_id(0) * t_tile
+    local = idx_ref[:] - base  # [PC]
+    onehot = (
+        local[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (local.shape[0], t_tile), 1)
+    ).astype(jnp.float32)
+    out_ref[:] += jax.lax.dot_general(
+        onehot, g_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def segment_sum_matmul(idx: jax.Array, g: jax.Array, n_rows: int) -> jax.Array:
+    """out[n_rows, C] = sum_{p: idx_p == r} g_p. idx int32 [P], g [P, C]."""
+    p, c = g.shape
+    pad_p = (-p) % P_CHUNK
+    if pad_p:
+        # pad with out-of-range indices (match nothing in any tile)
+        idx = jnp.concatenate([idx, jnp.full((pad_p,), -1, idx.dtype)])
+        g = jnp.pad(g, ((0, pad_p), (0, 0)))
+    pad_t = (-n_rows) % T_TILE
+    rows_p = n_rows + pad_t
+
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, t_tile=T_TILE),
+        grid=(rows_p // T_TILE, (p + pad_p) // P_CHUNK),
+        in_specs=[
+            pl.BlockSpec((P_CHUNK,), lambda t, pp: (pp,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P_CHUNK, c), lambda t, pp: (pp, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (T_TILE, c), lambda t, pp: (t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_p, c), jnp.float32),
+        interpret=_interpret(),
+    )(idx.astype(jnp.int32), g.astype(jnp.float32))
+    return out[:n_rows]
+
+
+@jax.custom_vjp
+def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather whose backward is the sort-free matmul segment-sum."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (idx, table.shape[0])
+
+
+def _take_bwd(res, gr):
+    idx, n_rows = res
+    return segment_sum_matmul(idx, gr, n_rows), None
+
+
+take_rows.defvjp(_take_fwd, _take_bwd)

@@ -46,3 +46,43 @@ def test_fused_weights_terminator(rng):
     dists = jnp.asarray(rng.uniform(0.01, 0.5, (1, 12)).astype(np.float32))
     w = fused_weights(sigma, dists, SCALE)
     np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_segsum_take_rows_grad_parity(rng):
+    """Sort-free MXU segment-sum backward vs XLA scatter backward."""
+    import jax.numpy as jnp
+
+    from localrf_tpu.ops.pallas.segsum import take_rows
+
+    t, c, p = 640, 48, 5000
+    tab = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, t, p).astype(np.int32))
+    co = jnp.asarray(rng.normal(size=(p, c)).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(take_rows(x, idx) * co))(tab)
+    g0 = jax.grad(lambda x: jnp.sum(jnp.take(x, idx, axis=0) * co))(tab)
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-6
+    assert float(jnp.max(jnp.abs(g1 - g0))) / scale < 5e-3
+
+
+def test_render_with_segsum_close_to_reference(rng):
+    import dataclasses
+
+    from localrf_tpu.models.render import render_rays
+    from localrf_tpu.models.tensorf import TensorfConfig, init_tensorf
+
+    cfg0 = TensorfConfig(grid_size=(16, 16, 16))
+    cfg1 = dataclasses.replace(cfg0, matmul_segsum=True)
+    params = init_tensorf(jax.random.PRNGKey(0), cfg0)
+    o = jnp.asarray(rng.uniform(-0.5, 0.5, (16, 3)).astype(np.float32))
+    d = rng.normal(size=(16, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    def loss(p, cfg):
+        rgb, _ = render_rays(p, cfg, o, d, is_train=False, white_bg=True, n_samples=48)
+        return jnp.mean(rgb**2)
+
+    g0 = jax.grad(lambda p: loss(p, cfg0))(params)
+    g1 = jax.grad(lambda p: loss(p, cfg1))(params)
+    for k in ("density_line_0", "app_line_2"):
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        assert np.max(np.abs(a - b)) / (np.abs(a).max() + 1e-8) < 5e-3
