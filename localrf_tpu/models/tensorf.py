@@ -61,8 +61,9 @@ class TensorfConfig:
     # scan with analytic VJP (ops/pallas/composite.py)
     pallas_composite: bool = False
     # route line-factor backward through the sort-free MXU segment-sum
-    # (ops/pallas/segsum.py): ~2x faster than XLA's sort-based scatter for
-    # line-sized tables, at MXU f32 accumulation precision
+    # (ops/pallas/segsum.py). Wins 2x on isolated large-P line scatters but
+    # loses in the fused step at reference batch sizes (breaks XLA fusion);
+    # kept as opt-in infrastructure for larger-batch deployments
     matmul_segsum: bool = False
     # occupancy compaction (see ops/occupancy.py): with an alpha volume
     # present, compute density only at the first occ_m occupied samples per
