@@ -595,6 +595,11 @@ class LocalTensorfs:
     def attach_pool(self, pool) -> None:
         """Use a DevicePixelPool: batches become int32 index streams and the
         pixel values are gathered on device inside the fused chunk."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "pixel pool + ray-batch data parallelism is not combined yet:"
+                " the pool arrays would need sharding over the mesh"
+            )
         self.pool = pool
 
     def run_chunk(self, batches: list[dict], optimize_poses: bool) -> bool:
