@@ -197,3 +197,25 @@ def test_frozen_poses_config1():
     assert not np.array_equal(
         np.asarray(model.fields[-1]["params"]["density_plane_0"]), p0
     )
+
+
+def test_camera_prior_relative_pose_init():
+    """With preprocessed poses, each appended frame is initialized from the
+    previous pose composed with the prior relative transform
+    (ref: local_tensorfs.py:168-173)."""
+    n = 4
+    rel = np.tile(np.eye(4, dtype=np.float32)[None], (n, 1, 1))
+    # constant forward translation prior; rel[0] stays identity (the dataset
+    # always emits an identity first relative pose, ref: localrf_dataset.py:61-63)
+    rel[1:, 0, 3] = 0.1
+    prior = {"rel_poses": rel, "transforms": {"fl_x": 500.0, "w": W}}
+    cfg = LocalConfig(
+        fov=60.0, n_init_frames=n, WH=(W, H), n_views=4, batch_size=64,
+        tensorf=TensorfConfig(grid_size=(12, 12, 12)),
+    )
+    model = LocalTensorfs(cfg, camera_prior=prior)
+    model.sync_window_to_host()
+    # translations should accumulate the prior's +0.1 x-steps
+    np.testing.assert_allclose(model.t_all[:, 0], 0.1 * np.arange(n), atol=1e-5)
+    # focal derived from the prior transforms
+    assert abs(model.init_focal - 500.0) < 1e-4
