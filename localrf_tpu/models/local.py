@@ -34,6 +34,7 @@ from .step import (
     StepStatics,
     cam2world_from_params,
     render_chunk,
+    render_frame,
     train_chunk,
     train_step,
     train_step_poses_only,
@@ -772,27 +773,24 @@ class LocalTensorfs:
         bw_exp = np.repeat(blending_weights, rays_per_view, axis=0)
         c2w_exp = np.repeat(cam2world, rays_per_view, axis=0)
 
-        n_chunks = (n_rays + chunk - 1) // chunk
-        for ci in range(n_chunks):
-            sl = slice(ci * chunk, min((ci + 1) * chunk, n_rays))
-            ids_c = np.asarray(ray_ids[sl], np.int32)
-            pad = 0
-            if ids_c.shape[0] < chunk:  # pad to keep one compile bucket
-                pad = chunk - ids_c.shape[0]
-                ids_c = np.concatenate([ids_c, np.zeros(pad, np.int32)])
+        if len(view_ids) == 1:
+            # fast path: all chunks of the frame in ONE lax.scan dispatch per
+            # field (a 960x540 frame is ~127 chunks; per-dispatch overhead on
+            # tunneled hosts is ~40 ms, so this saves seconds per frame)
+            n_chunks = (n_rays + chunk - 1) // chunk
+            pad = n_chunks * chunk - n_rays
+            ids_p = np.concatenate(
+                [np.asarray(ray_ids, np.int32), np.zeros(pad, np.int32)]
+            ).reshape(n_chunks, chunk)
             for rf_id in active_rf_ids:
                 f = self.fields[rf_id]
                 params = jax.tree.map(jnp.asarray, f["params"])
-                cam2rf = c2w_exp[sl].copy()
-                cam2rf[:, :3, 3] += world2rf[rf_id]
-                if pad:
-                    cam2rf = np.concatenate(
-                        [cam2rf, np.repeat(cam2rf[-1:], pad, axis=0)]
-                    )
-                rgb, depth, _, _ = render_chunk(
+                cam2rf = cam2world[0].copy()
+                cam2rf[:3, 3] += world2rf[rf_id]
+                rgb, depth = render_frame(
                     params,
                     f["cfg"],
-                    jnp.asarray(ids_c),
+                    jnp.asarray(ids_p),
                     jnp.asarray(cam2rf),
                     jnp.asarray(focal, jnp.float32),
                     jnp.asarray(center),
@@ -803,11 +801,46 @@ class LocalTensorfs:
                     refine=jnp.asarray(1.0 if self.is_refining else 0.0),
                     alpha_volume=f["alpha_volume"],
                 )
-                rgb = np.asarray(rgb)[: sl.stop - sl.start]
-                depth = np.asarray(depth)[: sl.stop - sl.start]
-                wgt = bw_exp[sl, rf_id]
-                rgbs[sl] += rgb * wgt[:, None]
-                depths[sl] += depth * wgt
+                wgt = float(blending_weights[0, rf_id])
+                rgbs += np.asarray(rgb)[:n_rays] * wgt
+                depths += np.asarray(depth)[:n_rays] * wgt
+        else:
+            n_chunks = (n_rays + chunk - 1) // chunk
+            for ci in range(n_chunks):
+                sl = slice(ci * chunk, min((ci + 1) * chunk, n_rays))
+                ids_c = np.asarray(ray_ids[sl], np.int32)
+                pad = 0
+                if ids_c.shape[0] < chunk:  # pad to keep one compile bucket
+                    pad = chunk - ids_c.shape[0]
+                    ids_c = np.concatenate([ids_c, np.zeros(pad, np.int32)])
+                for rf_id in active_rf_ids:
+                    f = self.fields[rf_id]
+                    params = jax.tree.map(jnp.asarray, f["params"])
+                    cam2rf = c2w_exp[sl].copy()
+                    cam2rf[:, :3, 3] += world2rf[rf_id]
+                    if pad:
+                        cam2rf = np.concatenate(
+                            [cam2rf, np.repeat(cam2rf[-1:], pad, axis=0)]
+                        )
+                    rgb, depth, _, _ = render_chunk(
+                        params,
+                        f["cfg"],
+                        jnp.asarray(ids_c),
+                        jnp.asarray(cam2rf),
+                        jnp.asarray(focal, jnp.float32),
+                        jnp.asarray(center),
+                        w=w,
+                        h=h,
+                        floater_thresh=floater_thresh,
+                        fov360=(self.cfg.fov == 360),
+                        refine=jnp.asarray(1.0 if self.is_refining else 0.0),
+                        alpha_volume=f["alpha_volume"],
+                    )
+                    rgb = np.asarray(rgb)[: sl.stop - sl.start]
+                    depth = np.asarray(depth)[: sl.stop - sl.start]
+                    wgt = bw_exp[sl, rf_id]
+                    rgbs[sl] += rgb * wgt[:, None]
+                    depths[sl] += depth * wgt
 
         if self.cfg.lr_exposure_init > 0:
             n = self.n_frames

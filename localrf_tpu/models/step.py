@@ -494,3 +494,45 @@ def render_chunk(
     )
     ij = jnp.stack([i, j], axis=-1)
     return rgb, depth, directions, ij
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "w", "h", "floater_thresh", "white_bg", "fov360"),
+)
+def render_frame(
+    field_params,
+    cfg: TensorfConfig,
+    ray_idx: jax.Array,  # [n_chunks, chunk]
+    cam2rf: jax.Array,  # [3, 4] single pose
+    focal,
+    center,
+    *,
+    w: int,
+    h: int,
+    floater_thresh: float = 0.0,
+    white_bg: bool = True,
+    fov360: bool = False,
+    refine=1.0,
+    alpha_volume=None,
+):
+    """Whole-frame eval render: all chunks in one on-device lax.scan (one
+    dispatch per frame per field instead of one per 4096-ray chunk)."""
+
+    def body(_, ids):
+        i, j = ids2pixel(w, h, ids)
+        if fov360:
+            directions = get_ray_directions_360(i, j, w, h)
+        else:
+            directions = get_ray_directions_lean(i, j, focal, center)
+        c2rf = jnp.broadcast_to(cam2rf[None], (ids.shape[0], 3, 4))
+        rays_o, rays_d = get_rays_lean(directions, c2rf)
+        rgb, depth = render_rays(
+            field_params, cfg, rays_o, rays_d,
+            is_train=False, white_bg=white_bg, refine=refine,
+            floater_thresh=floater_thresh, alpha_volume=alpha_volume,
+        )
+        return None, (rgb, depth)
+
+    _, (rgb, depth) = jax.lax.scan(body, None, ray_idx)
+    return rgb.reshape(-1, 3), depth.reshape(-1)
