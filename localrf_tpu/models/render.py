@@ -21,8 +21,9 @@ from ..ops.rays import sample_ray_contracted
 from .tensorf import (
     TensorfConfig,
     apply_mlp,
-    build_quad_views,
+    build_combined_quad_views,
     compute_app_feature,
+    compute_density_app_features,
     compute_density_feature,
     feature2density,
     normalize_coord,
@@ -66,7 +67,10 @@ def render_rays(
 
     pts_norm = normalize_coord(pts, cfg)
 
-    quad = build_quad_views(params, cfg) if cfg.fast_gather else None
+    # fast path: density+appearance factors fused into one 128-lane quad
+    # table per orientation — one gather (and one backward scatter) serves
+    # both features (see tensorf.build_combined_quad_views)
+    quad = build_combined_quad_views(params, cfg) if cfg.fast_gather else None
 
     compact = (
         alpha_volume is not None
@@ -91,7 +95,12 @@ def render_rays(
         s = cfg.occ_m
 
     flat = pts_norm.reshape(-1, 3)
-    sigma_feat = compute_density_feature(params, flat, cfg, quad).reshape(r, s)
+    app_feat_all = None
+    if quad is not None:
+        sigma_feat, app_feat_all = compute_density_app_features(params, flat, cfg, quad)
+        sigma_feat = sigma_feat.reshape(r, s)
+    else:
+        sigma_feat = compute_density_feature(params, flat, cfg, None).reshape(r, s)
     sigma = feature2density(sigma_feat, cfg)
 
     if compact:
@@ -126,17 +135,28 @@ def render_rays(
         alpha = jnp.where(sample_idx < idx_map * floater_thresh, 0.0, alpha)
         weight, _ = alpha2weights(alpha)
 
-    if 0 < cfg.app_top_k < s:
-        # TPU compaction: shade only the K highest-weight samples per ray.
-        # Exactly reproduces the reference's `weight > thres` masked gather
-        # (ref: tensorBase.py:622-632) whenever fewer than K samples pass the
-        # threshold — weights sum to 1, so with thres=1e-3 at most 1000
-        # samples can ever pass; in practice a few dozen do.
+    if app_feat_all is not None:
+        # shared-gather path: appearance features already computed at every
+        # (compacted) sample; shade densely and zero samples below the weight
+        # threshold — exactly the reference's masked ragged gather semantics
+        # (ref: tensorBase.py:622-632) with static shapes
+        app_mask = weight > cfg.ray_march_weight_thres
+        vd = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
+        rgb = apply_mlp(
+            params["mlp"], flat, jax.lax.stop_gradient(vd), app_feat_all, cfg, refine
+        ).reshape(r, s, 3)
+        rgb = jnp.where(app_mask[..., None], rgb, 0.0)
+        rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
+    elif 0 < cfg.app_top_k < s:
+        # oracle-path compaction: shade only the K highest-weight samples per
+        # ray. Exactly reproduces the reference's `weight > thres` masked
+        # gather whenever fewer than K samples pass the threshold — weights
+        # sum to 1, so with thres=1e-3 at most 1000 samples can ever pass.
         k = cfg.app_top_k
         w_k, idx_k = jax.lax.top_k(weight, k)  # [R, K]
         ray_ix = jnp.arange(r)[:, None]
         pts_k = pts_norm[ray_ix, idx_k].reshape(-1, 3)
-        app_feat = compute_app_feature(params, pts_k, cfg, quad)  # [R*K, app_dim]
+        app_feat = compute_app_feature(params, pts_k, cfg, None)  # [R*K, app_dim]
         vd = jnp.broadcast_to(viewdirs[:, None, :], (r, k, 3)).reshape(-1, 3)
         rgb_k = apply_mlp(
             params["mlp"], pts_k, jax.lax.stop_gradient(vd), app_feat, cfg, refine
@@ -146,7 +166,7 @@ def render_rays(
         rgb_map = jnp.sum(w_k[..., None] * rgb_k, axis=-2)
     else:
         app_mask = weight > cfg.ray_march_weight_thres
-        app_feat = compute_app_feature(params, flat, cfg, quad)  # [R*S, app_dim]
+        app_feat = compute_app_feature(params, flat, cfg, None)  # [R*S, app_dim]
         vd = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
         rgb = apply_mlp(
             params["mlp"], flat, jax.lax.stop_gradient(vd), app_feat, cfg, refine

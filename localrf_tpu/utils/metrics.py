@@ -66,19 +66,13 @@ def rgb_ssim(
     return ssim_map if return_map else float(np.mean(ssim_map))
 
 
-_LPIPS_MODEL = {}
-
-
 def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex") -> float:
-    """LPIPS if the `lpips` package + weights are available, else NaN."""
-    try:
-        import lpips  # noqa: F401
-        import torch
+    """LPIPS (AlexNet) via the pure-JAX evaluator in utils/lpips.py
+    (ref wrapper: utils/utils.py:210-226). Uses official converted weights
+    when present (scripts/download_weights.sh), else a documented fixed-seed
+    backbone — always finite."""
+    if net_name != "alex":
+        raise ValueError(f"only the 'alex' LPIPS variant is supported, got {net_name}")
+    from . import lpips as jlpips
 
-        if net_name not in _LPIPS_MODEL:
-            _LPIPS_MODEL[net_name] = lpips.LPIPS(net=net_name, version="0.1").eval()
-        gt = torch.from_numpy(np_gt).permute(2, 0, 1).contiguous()
-        im = torch.from_numpy(np_im).permute(2, 0, 1).contiguous()
-        return float(_LPIPS_MODEL[net_name](gt, im, normalize=True).item())
-    except Exception:
-        return float("nan")
+    return jlpips.lpips(jlpips.get_params(), np_gt, np_im)

@@ -20,12 +20,45 @@ def _rays(n=17):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+def test_combined_quad_path_matches_oracle():
+    """The shared-gather 128-lane combined path (fast_gather=True) must match
+    the plain grid_sample oracle path bit-for-bit (same float math)."""
+    params = init_tensorf(jax.random.PRNGKey(0), CFG)
+    o, d = _rays()
+    fast_cfg = dataclasses.replace(CFG, fast_gather=True)
+    oracle_cfg = dataclasses.replace(CFG, fast_gather=False, app_top_k=0)
+    rgb0, dep0 = render_rays(params, oracle_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
+    rgb1, dep1 = render_rays(params, fast_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-5, atol=1e-6)
+
+
+def test_combined_quad_grads_match_oracle():
+    params = init_tensorf(jax.random.PRNGKey(3), CFG)
+    o, d = _rays(11)
+
+    def loss(p, cfg):
+        rgb, dep = render_rays(p, cfg, o, d, is_train=False, white_bg=True, n_samples=32)
+        return jnp.mean(rgb**2) + 1e-2 * jnp.mean(dep**2)
+
+    fast_cfg = dataclasses.replace(CFG, fast_gather=True)
+    oracle_cfg = dataclasses.replace(CFG, fast_gather=False, app_top_k=0)
+    g0 = jax.grad(loss)(params, oracle_cfg)
+    g1 = jax.grad(loss)(params, fast_cfg)
+    for k in g0:
+        if k == "mlp":
+            continue
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-4, atol=1e-6, err_msg=k
+        )
+
+
 def test_topk_matches_dense_when_k_covers_threshold():
     params = init_tensorf(jax.random.PRNGKey(0), CFG)
     o, d = _rays()
-    dense_cfg = dataclasses.replace(CFG, app_top_k=0)
+    dense_cfg = dataclasses.replace(CFG, app_top_k=0, fast_gather=False)
     # K = S: top-k covers every sample -> must match dense path exactly
-    topk_cfg = dataclasses.replace(CFG, app_top_k=47)
+    topk_cfg = dataclasses.replace(CFG, app_top_k=47, fast_gather=False)
     rgb0, dep0 = render_rays(params, dense_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
     rgb1, dep1 = render_rays(params, topk_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
     np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), rtol=1e-5, atol=1e-5)
@@ -36,8 +69,8 @@ def test_topk_close_with_small_k():
     """With K=16 of 48 samples, only sub-threshold contributions can differ."""
     params = init_tensorf(jax.random.PRNGKey(0), CFG)
     o, d = _rays()
-    dense_cfg = dataclasses.replace(CFG, app_top_k=0)
-    topk_cfg = dataclasses.replace(CFG, app_top_k=16)
+    dense_cfg = dataclasses.replace(CFG, app_top_k=0, fast_gather=False)
+    topk_cfg = dataclasses.replace(CFG, app_top_k=16, fast_gather=False)
     rgb0, _ = render_rays(params, dense_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
     rgb1, _ = render_rays(params, topk_cfg, o, d, is_train=False, white_bg=True, n_samples=48)
     # each skipped sample contributes at most its weight (<~ mass outside top-16)
@@ -47,7 +80,7 @@ def test_topk_close_with_small_k():
 def test_topk_grads_flow():
     params = init_tensorf(jax.random.PRNGKey(0), CFG)
     o, d = _rays(8)
-    cfg = dataclasses.replace(CFG, app_top_k=12)
+    cfg = dataclasses.replace(CFG, app_top_k=12, fast_gather=False)
 
     def loss(p):
         rgb, _ = render_rays(p, cfg, o, d, is_train=True, white_bg=False,
