@@ -57,7 +57,7 @@ def build_state(grid: int):
         batch_size=BATCH,
         tensorf=TensorfConfig(
             grid_size=(grid, grid, grid), app_top_k=APP_TOP_K,
-            pallas_composite=True,
+            pallas_composite=True, gather_dtype="bfloat16",
         ),
     )
     model = LocalTensorfs(cfg)

@@ -137,7 +137,15 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         "--app_top_k", type=int, default=128,
         help="shade appearance only at the top-K samples per ray by"
         " compositing weight (static-shape analog of the reference's"
-        " weight>thres masking; 0 = dense)",
+        " weight>thres masking; 0 = dense). Only applies to the oracle"
+        " grid-sample path; the default fused-gather path shades densely",
+    )
+    parser.add_argument(
+        "--gather_dtype", type=str, default="bfloat16",
+        choices=["float32", "bfloat16"],
+        help="dtype of the derived factor-grid gather tables (canonical"
+        " params stay float32). bfloat16 nearly halves the dominant"
+        " gather/scatter HBM traffic; convergence-tested",
     )
     parser.add_argument(
         "--occ_ratio", type=float, default=0.45,

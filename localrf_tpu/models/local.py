@@ -735,6 +735,21 @@ class LocalTensorfs:
     # (ref: local_tensorfs.py:382-498, is_train=False branch)
     # ------------------------------------------------------------------
 
+    def _eval_params(self, f: dict):
+        """Device copy of a field's params, cached across eval calls.
+
+        Retired fields live on host (append_rf offloads them); without this
+        cache a multi-frame path render re-uploads the full factor grids for
+        every frame x field. Cache key is the identity of the host pytree, so
+        training (which rebinds f["params"]) invalidates automatically.
+        """
+        cached = f.get("_dev_cache")
+        if cached is not None and cached[0] is f["params"]:
+            return cached[1]
+        params = jax.tree.map(jnp.asarray, f["params"])
+        f["_dev_cache"] = (f["params"], params)
+        return params
+
     def forward_eval(
         self,
         ray_ids: np.ndarray,
@@ -784,7 +799,7 @@ class LocalTensorfs:
             ).reshape(n_chunks, chunk)
             for rf_id in active_rf_ids:
                 f = self.fields[rf_id]
-                params = jax.tree.map(jnp.asarray, f["params"])
+                params = self._eval_params(f)
                 cam2rf = cam2world[0].copy()
                 cam2rf[:3, 3] += world2rf[rf_id]
                 rgb, depth = render_frame(
@@ -815,7 +830,7 @@ class LocalTensorfs:
                     ids_c = np.concatenate([ids_c, np.zeros(pad, np.int32)])
                 for rf_id in active_rf_ids:
                     f = self.fields[rf_id]
-                    params = jax.tree.map(jnp.asarray, f["params"])
+                    params = self._eval_params(f)
                     cam2rf = c2w_exp[sl].copy()
                     cam2rf[:, :3, 3] += world2rf[rf_id]
                     if pad:

@@ -28,9 +28,21 @@ CORR_RADIUS = 4
 # ----------------------------- layers -----------------------------
 
 
-def conv2d(x, w, b=None, stride=1, padding="SAME"):
+def conv2d(x, w, b=None, stride=1, padding=None):
+    """Conv with torch-style SYMMETRIC padding.
+
+    `padding`: int or (ph, pw); None = (kh//2, kw//2) ("same" for odd
+    kernels). XLA's "SAME" string pads asymmetrically for strided convs
+    (lo=(total//2)), while torch pads (p, p) on both sides — using the
+    string would shift every strided conv's sampling grid by one pixel vs
+    the official checkpoints."""
+    if padding is None:
+        padding = (w.shape[0] // 2, w.shape[1] // 2)
+    elif isinstance(padding, int):
+        padding = (padding, padding)
     out = jax.lax.conv_general_dilated(
-        x, w, (stride, stride), padding,
+        x, w, (stride, stride),
+        ((padding[0], padding[0]), (padding[1], padding[1])),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if b is not None:
@@ -137,8 +149,12 @@ def corr_lookup(pyramid, coords):
     Returns [B, H, W, CORR_LEVELS*(2r+1)^2]."""
     b, h, w, _ = coords.shape
     r = CORR_RADIUS
+    # official channel ordering: the x offset varies SLOWEST over the
+    # (2r+1)^2 taps (the torch code builds meshgrid(dy, dx) and feeds the
+    # first component to the sampler's x axis) — converted convc1 weights
+    # are per-tap, so the order must match exactly
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dd = jnp.stack(jnp.meshgrid(dx, dx, indexing="xy"), axis=-1).reshape(-1, 2)
+    dd = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij"), axis=-1).reshape(-1, 2)
 
     out = []
     for lvl, corr in enumerate(pyramid):

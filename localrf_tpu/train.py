@@ -194,6 +194,7 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         fea_pe=args.fea_pe,
         app_top_k=getattr(args, "app_top_k", 128),
         pallas_composite=bool(getattr(args, "use_pallas", 0)),
+        gather_dtype=getattr(args, "gather_dtype", "bfloat16"),
         aabb_lo=tuple(float(v) for v in aabb[0]),
         aabb_hi=tuple(float(v) for v in aabb[1]),
     )

@@ -59,7 +59,8 @@ def _pose_err(t_learned, t_gt):
 
 
 @pytest.mark.slow
-def test_joint_pose_field_optimization_converges():
+@pytest.mark.parametrize("gather_dtype", ["float32", "bfloat16"])
+def test_joint_pose_field_optimization_converges(gather_dtype):
     imgs, gt_t = _gt_scene()
     ds = SyntheticDataset(imgs, "train", n_init_frames=N_FRAMES, test_frame_every=0)
     cfg = LocalConfig(
@@ -73,7 +74,7 @@ def test_joint_pose_field_optimization_converges():
         loss_flow_weight=0.0,
         loss_depth_weight=0.0,
         l1_weight=0.0,
-        tensorf=TensorfConfig(grid_size=(20, 20, 20)),
+        tensorf=TensorfConfig(grid_size=(20, 20, 20), gather_dtype=gather_dtype),
     )
     model = LocalTensorfs(cfg)
     model.is_refining = True
