@@ -566,42 +566,74 @@ class LocalTensorfs:
         self.mesh = mesh
         self._mesh_states_placed = False
 
+    def _mesh_shardings(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import DATA_AXIS
+
+        return (
+            NamedSharding(self.mesh, P(None, DATA_AXIS)),  # [K, rays, ...]
+            NamedSharding(self.mesh, P()),  # replicated
+        )
+
+    def _ensure_mesh_states(self, repl) -> None:
+        """Replicate model/optimizer state over the mesh (once, and again
+        after schedule events rebuild arrays)."""
+        if self._mesh_states_placed:
+            return
+        place = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+        f = self.fields[-1]
+        f["params"] = place(f["params"])
+        f["opt"] = place(f["opt"])
+        if f["alpha_volume"] is not None:
+            f["alpha_volume"] = jax.device_put(f["alpha_volume"], repl)
+        self._pose_dev = place(self._pose_dev)
+        self.intr = place(self.intr)
+        if self.pool is not None:
+            self.pool.arrays = place(self.pool.arrays)
+        self._mesh_states_placed = True
+
     def _place_batch(self, stacked: dict) -> dict:
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in stacked.items()}
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharding import _SHARDED_KEYS
 
-        from ..parallel.sharding import _SHARDED_KEYS, DATA_AXIS
-
-        data = NamedSharding(self.mesh, P(None, DATA_AXIS))
-        repl = NamedSharding(self.mesh, P())
+        data, repl = self._mesh_shardings()
         out = {}
         for k, v in stacked.items():
             if k in _SHARDED_KEYS and v.shape[1] % self.mesh.size == 0:
                 out[k] = jax.device_put(v, data)
             else:
                 out[k] = jax.device_put(v, repl)
-        if not self._mesh_states_placed:
-            place = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
-            f = self.fields[-1]
-            f["params"] = place(f["params"])
-            f["opt"] = place(f["opt"])
-            if f["alpha_volume"] is not None:
-                f["alpha_volume"] = jax.device_put(f["alpha_volume"], repl)
-            self._pose_dev = place(self._pose_dev)
-            self.intr = place(self.intr)
-            self._mesh_states_placed = True
+        self._ensure_mesh_states(repl)
+        return out
+
+    # index-stream keys of the pooled path whose axis 1 is the ray/view axis
+    _POOL_SHARDED_KEYS = ("px", "slots", "view_ids")
+
+    def _place_pool_batch(self, stacked: dict) -> dict:
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in stacked.items()}
+        data, repl = self._mesh_shardings()
+        out = {}
+        for k, v in stacked.items():
+            if k in self._POOL_SHARDED_KEYS and v.shape[1] % self.mesh.size == 0:
+                out[k] = jax.device_put(np.asarray(v), data)
+            else:
+                out[k] = jax.device_put(np.asarray(v), repl)
+        self._ensure_mesh_states(repl)
         return out
 
     def attach_pool(self, pool) -> None:
         """Use a DevicePixelPool: batches become int32 index streams and the
-        pixel values are gathered on device inside the fused chunk."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "pixel pool + ray-batch data parallelism is not combined yet:"
-                " the pool arrays would need sharding over the mesh"
-            )
+        pixel values are gathered on device inside the fused chunk. Composes
+        with ray-batch data parallelism: pool arrays are replicated over the
+        mesh (a few hundred MB max) and the index stream is sharded, so the
+        on-device gather lands sharded and GSPMD proceeds as in the
+        unpooled path."""
         self.pool = pool
+        if self.mesh is not None:
+            self._mesh_states_placed = False
 
     def run_chunk(self, batches: list[dict], optimize_poses: bool) -> bool:
         """Execute pre-planned batches as one fused lax.scan dispatch.
@@ -660,7 +692,7 @@ class LocalTensorfs:
         if use_pool:
             from .step import train_chunk_pooled
 
-            stacked_batch = {k2: jnp.asarray(v) for k2, v in stacked_batch.items()}
+            stacked_batch = self._place_pool_batch(stacked_batch)
             new_field, new_pose, new_intr, metrics = train_chunk_pooled(
                 field_state,
                 self._pose_dev,

@@ -418,7 +418,7 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
             else:
                 training = False
 
-        # logging
+        # logging (scalar set mirrors ref: train.py:475-527)
         if writer is not None:
             for k, v in model.last_metrics.items():
                 writer.add_scalar(f"train/{k}", v, global_step=iteration)
@@ -428,6 +428,29 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
             writer.add_scalar(
                 "active_frames_bounds/1", train_dataset.active_frames_bounds[1], iteration
             )
+            f_last = model.fields[-1]
+            lr_scale = float(np.asarray(f_last["opt"].lr_scale))
+            writer.add_scalar(
+                "train/density_app_plane_lr", model.cfg.rf_lr_init * lr_scale, iteration
+            )
+            writer.add_scalar(
+                "train/basis_mat_lr", model.cfg.rf_lr_basis * lr_scale, iteration
+            )
+            lr_r = np.asarray(model._pose_dev.r_opt.lr)
+            lr_t = np.asarray(model._pose_dev.t_opt.lr)
+            last = model.win_len - 1
+            writer.add_scalar("train/lr_r", float(lr_r[last]), iteration)
+            writer.add_scalar("train/lr_t", float(lr_t[last]), iteration)
+            writer.add_scalar("train/focal", model.focal(w), iteration)
+            center = model.center(w, h)
+            writer.add_scalar("train/center0", float(center[0]), iteration)
+            writer.add_scalar("train/center1", float(center[1]), iteration)
+            # per-RF frame coverage bounds (ref: train.py:517-527)
+            for rf_i in range(model.blending_weights.shape[1]):
+                active = np.nonzero(model.blending_weights[:, rf_i])[0]
+                if len(active):
+                    writer.add_scalar(f"tensorf_bounds/rf{rf_i}_b0", int(active[0]), iteration)
+                    writer.add_scalar(f"tensorf_bounds/rf{rf_i}_b1", int(active[-1]), iteration)
 
         if iteration % args.progress_refresh_rate < (
             1 if scan_chunk <= 1 else scan_chunk
@@ -472,7 +495,7 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
 
         if iteration % args.vis_every == args.vis_every - 1:
             poses_mtx = model.get_cam2world()
-            _, _, _, _, _, _, loc_metrics = render(
+            rgb_tb, depth_tb, gt_tb, fwd_cmp_tb, bwd_cmp_tb, depth_cmp_tb, loc_metrics = render(
                 test_dataset,
                 poses_mtx,
                 model,
@@ -485,7 +508,7 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
                 test=True,
                 train_dataset=train_dataset,
                 start=train_dataset.active_frames_bounds[0],
-                add_frame_to_list=False,
+                add_frame_to_list=not getattr(args, "skip_TB_images", False),
             )
             if loc_metrics:
                 metrics.update(loc_metrics)
@@ -496,6 +519,25 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
                     writer.add_scalar("test/PSNR", psnr, global_step=iteration)
                     writer.add_scalar("test/ssim", float(np.mean(ssims)), iteration)
                 print(f"test PSNR={psnr:.2f} SSIM={np.mean(ssims):.3f}")
+            if writer is not None and not getattr(args, "skip_TB_images", False):
+                # test render / gt / error-panel images (ref: train.py:586-631)
+                def _add_images(tag, frames, gray=False):
+                    if not frames:
+                        return
+                    arr = np.stack(frames, 0).astype(np.float32)
+                    if gray:
+                        arr = arr[..., None]
+                    writer.add_images(tag, arr, global_step=iteration, dataformats="NHWC")
+
+                try:
+                    _add_images("test/rgb_maps", rgb_tb)
+                    _add_images("test/depth_map", depth_tb)
+                    _add_images("test/gt_maps", gt_tb)
+                    _add_images("test/fwd_flow_cmp", fwd_cmp_tb, gray=True)
+                    _add_images("test/bwd_flow_cmp", bwd_cmp_tb, gray=True)
+                    _add_images("test/depth_cmp", depth_cmp_tb, gray=True)
+                except Exception:
+                    pass
             save_checkpoint(
                 model,
                 f"{logfolder}/checkpoints_tmp.th",

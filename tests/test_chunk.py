@@ -158,6 +158,40 @@ def test_pooled_chunk_matches_host_batches():
     )
 
 
+def test_pooled_chunk_with_mesh_matches_single_device():
+    """Pixel pool + ray-batch DP compose (VERDICT r1 #6): pool arrays
+    replicated over the 8-device mesh, index stream sharded — results match
+    unpooled single-device execution."""
+    import jax
+
+    from localrf_tpu.data.pool import DevicePixelPool
+    from localrf_tpu.parallel.sharding import make_mesh
+
+    assert len(jax.devices()) >= 8
+    ds1, cfg, m1 = _make()
+    ds2, _, m2 = _make()
+    m2.set_mesh(make_mesh(8))
+    m2.attach_pool(DevicePixelPool(ds2, capacity=10))
+
+    batches1 = [ds1.sample(cfg.batch_size, False, True, n_views=cfg.n_views) for _ in range(4)]
+    batches2 = [
+        ds2.sample(cfg.batch_size, False, True, n_views=cfg.n_views, values=False)
+        for _ in range(4)
+    ]
+    m1.run_chunk(batches1, optimize_poses=True)
+    m2.run_chunk(batches2, optimize_poses=True)
+
+    np.testing.assert_allclose(
+        np.asarray(m2._pose_dev.t), np.asarray(m1._pose_dev.t), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.fields[-1]["params"]["density_plane_0"]),
+        np.asarray(m1.fields[-1]["params"]["density_plane_0"]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
 def test_pool_slot_recycling():
     from localrf_tpu.data.pool import DevicePixelPool
 
