@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.math import alpha2weights
+from ..ops.math import alpha2weights, contract
 from ..ops.occupancy import compact_valid_samples, occupancy_valid, pack_alpha_corners
 from ..ops.rays import sample_ray_contracted
 from .tensorf import (
@@ -84,14 +84,23 @@ def render_rays(
         # (ref: tensorBase.py:593-605)
         packed = pack_alpha_corners(alpha_volume)
         valid = occupancy_valid(
-            packed, alpha_volume.shape, pts_norm.reshape(-1, 3)
+            packed,
+            alpha_volume.shape,
+            jax.lax.stop_gradient(pts_norm).reshape(-1, 3),
         ).reshape(r, s)
         valid = valid.at[:, -1].set(False)  # terminator handled separately
         sel, sel_valid = compact_valid_samples(valid, cfg.occ_m)
-        ray_ix = jnp.arange(r)[:, None]
-        pts_norm = pts_norm[ray_ix, sel]  # [R, M, 3]
-        z_vals = jnp.broadcast_to(z_vals, (r, s))[ray_ix, sel]
-        dists = jnp.broadcast_to(dists, (r, s))[ray_ix, sel]
+        # gather only the (non-differentiable) z/dist scalars by `sel`, then
+        # RECOMPUTE the selected points from them: identical floats to
+        # gathering pts_norm rows, but the elementwise recompute is VPU-free
+        # while a [R,S,3]-row gather (and its backward scatter-add carrying
+        # the pose/intrinsics gradient) hits XLA's slow sub-lane emitter
+        z_vals = jnp.take(z_vals[0], sel)  # [R, M]
+        dists = jnp.take(dists[0], sel)
+        pts_sel = contract(
+            rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
+        )
+        pts_norm = normalize_coord(pts_sel, cfg)
         s = cfg.occ_m
 
     flat = pts_norm.reshape(-1, 3)

@@ -220,11 +220,15 @@ def render(
             ("depthvideo", depth_maps_tb),
         ):
             if frames:
-                with open(f"{save_path}/{name}.mp4", "wb") as f:
-                    imageio.mimwrite(
-                        f, np.stack(frames), fps=30, quality=6, format="mp4",
-                        output_params=["-f", "mp4"],
-                    )
+                try:
+                    with open(f"{save_path}/{name}.mp4", "wb") as f:
+                        imageio.mimwrite(
+                            f, np.stack(frames), fps=30, quality=6, format="mp4",
+                            output_params=["-f", "mp4"],
+                        )
+                except Exception as e:  # no ffmpeg backend: frames are still
+                    # saved as images under rgb_maps//depth_maps/
+                    print(f"mp4 export skipped ({name}): {e}")
 
     return (
         rgb_maps_tb,
