@@ -58,6 +58,7 @@ def build_state(grid: int):
         tensorf=TensorfConfig(
             grid_size=(grid, grid, grid), app_top_k=APP_TOP_K,
             pallas_composite=True, gather_dtype="bfloat16",
+            mlp_dtype="bfloat16",
         ),
     )
     model = LocalTensorfs(cfg)

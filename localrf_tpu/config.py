@@ -148,6 +148,12 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " gather/scatter HBM traffic; convergence-tested",
     )
     parser.add_argument(
+        "--mlp_dtype", type=str, default="bfloat16",
+        choices=["float32", "bfloat16"],
+        help="compute dtype of the shading MLP + basis matmul (master"
+        " weights stay float32); bfloat16 uses the fast MXU path",
+    )
+    parser.add_argument(
         "--occ_ratio", type=float, default=0.45,
         help="occupancy compaction: fraction of march samples kept once an"
         " alpha volume exists (exact while < that many samples are occupied)",

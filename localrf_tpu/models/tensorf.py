@@ -62,6 +62,10 @@ class TensorfConfig:
     # grads accumulate in f32 after the scatter. Convergence-tested in
     # tests/test_golden_trajectory.py.
     gather_dtype: str = "float32"
+    # compute dtype of the shading MLP + basis matmul (master weights stay
+    # float32 in the optimizer). "bfloat16" runs the dots on the fast MXU
+    # path; activations stay bf16 between layers, output is f32.
+    mlp_dtype: str = "float32"
     # hand-written Pallas kernel for the fused alpha/transmittance/weights
     # scan with analytic VJP (ops/pallas/composite.py)
     pallas_composite: bool = False
@@ -332,12 +336,20 @@ def apply_mlp(
     if mode == "RGB":
         return features
 
+    dt = jnp.dtype(cfg.mlp_dtype)
+
+    def dot(x, w):
+        return jax.lax.dot_general(
+            x.astype(dt), w.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     def run(x, view_extra=()):
-        x = jax.nn.relu(x @ mlp["w1"] + mlp["b1"])
-        x = jax.nn.relu(x @ mlp["w2"] + mlp["b2"])
+        x = jax.nn.relu(dot(x, mlp["w1"]) + mlp["b1"])
+        x = jax.nn.relu(dot(x, mlp["w2"]) + mlp["b2"])
         if view_extra:
             x = jnp.concatenate([x, *view_extra], axis=-1)
-        return jax.nn.sigmoid(x @ mlp["w3"] + mlp["b3"])
+        return jax.nn.sigmoid(dot(x, mlp["w3"]) + mlp["b3"])
 
     if mode == "MLP_Fea_late_view":
         indata = [features]

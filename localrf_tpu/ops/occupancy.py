@@ -90,7 +90,10 @@ def compact_valid_samples(valid: jax.Array, m: int):
     r, s = valid.shape
     idx = jnp.arange(s, dtype=jnp.int32)[None, :]
     keys = jnp.where(valid, idx, s + idx)
-    _, sel = jax.lax.top_k(-keys, m)  # m smallest keys, ascending
+    neg_keys, sel = jax.lax.top_k(-keys, m)  # m smallest keys, ascending
     sel = sel.astype(jnp.int32).at[:, -1].set(s - 1)
-    sel_valid = jnp.take_along_axis(valid, sel, axis=1)
+    # validity falls out of the key values (key < s <=> valid) — no second
+    # [R, m] gather needed. The forced terminator slot is always invalid:
+    # callers mask valid[:, -1] = False before compacting.
+    sel_valid = (-neg_keys < s).at[:, -1].set(False)
     return sel, sel_valid

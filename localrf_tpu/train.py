@@ -195,6 +195,7 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         app_top_k=getattr(args, "app_top_k", 128),
         pallas_composite=bool(getattr(args, "use_pallas", 0)),
         gather_dtype=getattr(args, "gather_dtype", "bfloat16"),
+        mlp_dtype=getattr(args, "mlp_dtype", "bfloat16"),
         aabb_lo=tuple(float(v) for v in aabb[0]),
         aabb_hi=tuple(float(v) for v in aabb[1]),
     )

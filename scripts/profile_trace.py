@@ -14,43 +14,44 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def parse_xplane(logdir: str, top: int = 40):
-    """Print op-level stats from the captured xplane protobuf."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+def parse_xplane(logdir: str, top: int = 40, n_steps: int = 1):
+    """Print op-level stats from the captured xplane protobuf.
+
+    Uses the xprof converter (protobuf pure-python mode required — set
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python in the environment).
+    """
+    import json
+
+    from xprof.convert import raw_to_tool_data
 
     paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True))
     if not paths:
         print("no xplane.pb found under", logdir)
         return
-    xplane = paths[-1]
-    data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], "framework_op_stats", {})
-    import csv
-    import io
-
-    rows = list(csv.DictReader(io.StringIO(data)))
-    # rows: host and device ops; keep device, sort by total self time
-    dev = [r for r in rows if r.get("host_or_device", "").lower() == "device"]
-    key = "total_self_time_us" if dev and "total_self_time_us" in dev[0] else None
-    if key is None and dev:
-        print("columns:", list(dev[0].keys()))
-        return
-    dev.sort(key=lambda r: -float(r[key]))
-    total = sum(float(r[key]) for r in dev)
-    print(f"device total self time: {total/1e3:.1f} ms over {len(dev)} op types")
-    print(f"{'op':60s} {'type':28s} {'ms':>8s} {'%':>5s} {'#':>6s}")
+    data, _ = raw_to_tool_data.xspace_to_tool_data([paths[-1]], "framework_op_stats", {})
+    tbl = json.loads(data if isinstance(data, str) else data.decode())[0]
+    cols = [c["id"] for c in tbl["cols"]]
+    recs = [dict(zip(cols, [(c["v"] if c else None) for c in r["c"]])) for r in tbl["rows"]]
+    dev = [r for r in recs if r.get("host_or_device") == "Device"]
+    dev.sort(key=lambda r: -float(r["total_self_time"]))
+    total = sum(float(r["total_self_time"]) for r in dev if r["type"] != "IDLE")
+    print(f"device busy: {total/1e3/n_steps:.1f} ms/step over {len(dev)} op rows")
+    print(f"{'op':62s} {'type':22s} {'ms/st':>7s} {'%':>5s} {'#/st':>5s}")
     for r in dev[:top]:
-        ms = float(r[key]) / 1e3
+        if r["type"] == "IDLE":
+            continue
+        us = float(r["total_self_time"])
         print(
-            f"{r['operation'][:60]:60s} {r['type'][:28]:28s} {ms:8.2f}"
-            f" {100*float(r[key])/total:5.1f} {r.get('occurrences',''):>6s}"
+            f"{r['operation'][:62]:62s} {r['type'][:22]:22s} {us/1e3/n_steps:7.2f}"
+            f" {100*us/total:5.1f} {float(r['occurrences'])/n_steps:5.1f}"
         )
-    # category rollup
     cats: dict[str, float] = {}
     for r in dev:
-        cats[r["type"]] = cats.get(r["type"], 0.0) + float(r[key])
+        if r["type"] != "IDLE":
+            cats[r["type"]] = cats.get(r["type"], 0.0) + float(r["total_self_time"])
     print("\n== category rollup ==")
     for c, us in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"{c:40s} {us/1e3:8.2f} ms {100*us/total:5.1f}%")
+        print(f"{c:40s} {us/1e3/n_steps:8.2f} ms/step {100*us/total:5.1f}%")
 
 
 def main():
@@ -59,7 +60,7 @@ def main():
     logdir = os.environ.get("TRACE_DIR", "/tmp/jax_trace")
 
     if os.environ.get("PARSE_ONLY"):
-        parse_xplane(logdir)
+        parse_xplane(logdir, n_steps=2 * n)
         return
 
     import jax
@@ -77,7 +78,7 @@ def main():
     with jax.profiler.trace(logdir):
         ips = bench.bench_stage(grid, n)
     print(f"traced {grid}^3: {1000/ips:.1f} ms/it")
-    parse_xplane(logdir)
+    parse_xplane(logdir, n_steps=2 * n)  # warmup chunk + timed chunk
 
 
 if __name__ == "__main__":
