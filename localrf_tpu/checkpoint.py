@@ -147,7 +147,9 @@ def load_checkpoint(path: str, camera_prior=None, return_extra: bool = False):
     # the active (last) field lives on device
     model.fields[-1]["params"] = jax.tree.map(jnp.asarray, model.fields[-1]["params"])
     if model.fields[-1]["opt"] is None:
-        model.fields[-1]["opt"] = pytree_adam_init(model.fields[-1]["params"])
+        model.fields[-1]["opt"] = pytree_adam_init(
+            model.fields[-1]["params"], model.cfg.moment_dtype
+        )
 
     # mesh/pool attachments don't survive serialization
     model.mesh = None

@@ -154,6 +154,12 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " weights stay float32); bfloat16 uses the fast MXU path",
     )
     parser.add_argument(
+        "--moment_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="storage dtype of the field optimizer's Adam moments (update"
+        " math stays float32); bfloat16 halves optimizer HBM per field",
+    )
+    parser.add_argument(
         "--occ_ratio", type=float, default=0.45,
         help="occupancy compaction: fraction of march samples kept once an"
         " alpha volume exists (exact while < that many samples are occupied)",

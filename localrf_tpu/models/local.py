@@ -76,6 +76,9 @@ class LocalConfig:
     # its floor; compaction engages only when it removes > half the samples
     occ_ratio: float = 0.45
     occ_min: int = 256
+    # storage dtype of the field optimizer's Adam moments (update math stays
+    # float32); "bfloat16" halves optimizer HBM per field
+    moment_dtype: str = "float32"
     # field template (grid_size = initial resolution for every new field)
     tensorf: TensorfConfig = dataclasses.field(
         default_factory=lambda: TensorfConfig(grid_size=(64, 64, 64))
@@ -332,7 +335,7 @@ class LocalTensorfs:
                 "params": params,
                 "cfg": tf_cfg,
                 "alpha_volume": None,
-                "opt": pytree_adam_init(params),
+                "opt": pytree_adam_init(params, self.cfg.moment_dtype),
             }
         )
         self.world2rf.append(np.asarray(world2rf, np.float32))
@@ -460,9 +463,9 @@ class LocalTensorfs:
             reso = n_to_reso(n_vox, f["cfg"].aabb)
             f["params"], f["cfg"] = upsample_tensorf(f["params"], f["cfg"], reso)
             if c.lr_upsample_reset:
-                f["opt"] = pytree_adam_init(f["params"])
+                f["opt"] = pytree_adam_init(f["params"], c.moment_dtype)
             else:
-                f["opt"] = pytree_adam_init(f["params"])._replace(
+                f["opt"] = pytree_adam_init(f["params"], c.moment_dtype)._replace(
                     lr_scale=f["opt"].lr_scale
                 )
         if self.rf_iter[-1] in self.update_AlphaMask_list:

@@ -106,11 +106,17 @@ class PyTreeAdamState(NamedTuple):
     lr_scale: jax.Array  # multiplicative decay applied to every group lr
 
 
-def pytree_adam_init(params) -> PyTreeAdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
+def pytree_adam_init(params, moment_dtype: str | None = None) -> PyTreeAdamState:
+    """moment_dtype: storage dtype for m/v ("bfloat16" halves optimizer HBM
+    — update math still runs in float32, see pytree_adam_update)."""
+    dt = jnp.dtype(moment_dtype) if moment_dtype else None
+
+    def zeros(p):
+        return jnp.zeros(p.shape, dt or p.dtype)
+
     return PyTreeAdamState(
-        m=zeros,
-        v=jax.tree.map(jnp.zeros_like, params),
+        m=jax.tree.map(zeros, params),
+        v=jax.tree.map(zeros, params),
         step=jnp.zeros((), jnp.int32),
         lr_scale=jnp.ones((), jnp.float32),
     )
@@ -133,10 +139,13 @@ def pytree_adam_update(
     bc2 = 1.0 - B2**step_f
 
     def upd(p, g, m, v, lr):
-        m = m + g_on * ((1 - B1) * (g - m))
-        v = v + g_on * ((1 - B2) * (g**2 - v))
+        # moments may be stored bf16; the update math runs in f32 and the
+        # new moments round back to the storage dtype
+        mdt = m.dtype
+        m = m.astype(jnp.float32) + g_on * ((1 - B1) * (g.astype(jnp.float32) - m.astype(jnp.float32)))
+        v = v.astype(jnp.float32) + g_on * ((1 - B2) * (g.astype(jnp.float32) ** 2 - v.astype(jnp.float32)))
         new_p = p - g_on * (lr * state.lr_scale) * (m / bc1) / (jnp.sqrt(v / bc2) + EPS)
-        return new_p, m, v
+        return new_p, m.astype(mdt), v.astype(mdt)
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)

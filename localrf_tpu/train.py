@@ -225,6 +225,7 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         batch_size=args.batch_size,
         occ_ratio=getattr(args, "occ_ratio", 0.45),
         occ_min=getattr(args, "occ_min", 256),
+        moment_dtype=getattr(args, "moment_dtype", "float32"),
         tensorf=tf_cfg,
     )
     return LocalTensorfs(cfg, camera_prior)

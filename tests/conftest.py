@@ -3,6 +3,8 @@ multi-chip sharding tests run without TPU hardware."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets a TPU platform
+# inherited by subprocess-based tests (e2e driver, dryrun bootstrap)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/localrf_tpu_jax_cache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite is dominated by XLA compiles of
+# the train-step buckets under 8 virtual devices; caching them across runs
+# cuts repeat suite time severalfold. Keyed by HLO hash — safe across edits.
+jax.config.update("jax_compilation_cache_dir", "/tmp/localrf_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -106,3 +106,25 @@ def test_field_base_lrs_groups():
     assert lrs["density_plane_0"] == 0.02
     assert lrs["basis_mat"] == 1e-3
     assert lrs["mlp"]["w1"] == 1e-3
+
+
+def test_pytree_adam_bf16_moments_track_f32():
+    """bf16 moment storage (--moment_dtype bfloat16): update math runs in
+    f32, so a short trajectory stays close to the f32-moment one and the
+    stored moments keep their dtype across steps."""
+    rng = np.random.default_rng(3)
+    params = {"a": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))}
+    lrs = {"a": 1e-2}
+    s32 = lo.pytree_adam_init(params)
+    s16 = lo.pytree_adam_init(params, "bfloat16")
+    assert s16.m["a"].dtype == jnp.bfloat16
+    p32, p16 = params, params
+    for it in range(20):
+        g = {"a": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))}
+        p32, s32 = lo.pytree_adam_update(p32, g, s32, lrs)
+        p16, s16 = lo.pytree_adam_update(p16, g, s16, lrs)
+    assert s16.m["a"].dtype == jnp.bfloat16
+    assert s16.v["a"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(p16["a"]), np.asarray(p32["a"]), atol=5e-3
+    )
