@@ -448,10 +448,16 @@ class LocalTensorfs:
             return 0
         s = tf_cfg.n_samples // 6 * 2
         m = min(s, max(self.cfg.occ_min, int(s * self.cfg.occ_ratio)))
-        # compaction only pays when it removes >~half the samples (the packed
-        # lookup + top-k + index gathers cost ~1 gather-equivalents each);
-        # otherwise the dense packed cull is faster
-        return 0 if m > 0.5 * s else int(m)
+        # compaction pays for any m < s: its only overhead beyond the dense
+        # cull (which also gathers the packed occupancy byte per sample) is
+        # one [R,S] top_k plus two tiny-table z/dist takes, while the
+        # savings scale every per-point gather/scatter/MLP cost by m/s.
+        # (An earlier >50%-removal guard predates the selected-point
+        # recompute — it left the 255^3/404^3 stages fully dense, measured
+        # 2x slower than compacted at 404^3.) Above ~85% kept the fixed
+        # cost outweighs the trim (255^3: m/s=0.88 measured 4% slower
+        # compacted).
+        return 0 if m > 0.85 * s else int(m)
 
     def _apply_post_step_events(self):
         """Upsample / occupancy refresh keyed on the pre-increment rf_iter

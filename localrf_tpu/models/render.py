@@ -95,8 +95,8 @@ def render_rays(
         # gathering pts_norm rows, but the elementwise recompute is VPU-free
         # while a [R,S,3]-row gather (and its backward scatter-add carrying
         # the pose/intrinsics gradient) hits XLA's slow sub-lane emitter
-        z_vals = jnp.take(z_vals[0], sel)  # [R, M]
-        dists = jnp.take(dists[0], sel)
+        z_vals = z_vals[0].at[sel].get(mode="promise_in_bounds")  # [R, M]
+        dists = dists[0].at[sel].get(mode="promise_in_bounds")
         pts_sel = contract(
             rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
         )

@@ -163,7 +163,7 @@ def quad_sample_2d(
     y0 = jnp.floor(y).astype(jnp.int32)
     wx = (x - x0.astype(x.dtype))[:, None]
     wy = (y - y0.astype(y.dtype))[:, None]
-    rows = jnp.take(quad, y0 * w + x0, axis=0)  # [P, >=4C]
+    rows = quad.at[y0 * w + x0].get(mode="promise_in_bounds")  # [P, >=4C]
     # lerp in the table dtype: with bf16 tables an f32 weight would promote
     # every [P, 4C] row to f32 (a measured ~11 ms/step convert at 640^3);
     # the weights are in [0,1] so bf16 weights lose <=2^-8 relative — the
@@ -197,7 +197,7 @@ def quad_sample_1d(
 
         rows = take_rows(quad, x0)
     else:
-        rows = jnp.take(quad, x0, axis=0)  # [P, >=2C]
+        rows = quad.at[x0].get(mode="promise_in_bounds")  # [P, >=2C]
     w1 = w1.astype(rows.dtype)  # see quad_sample_2d: lerp in table dtype
     return rows[:, :c] * (1.0 - w1) + rows[:, c : 2 * c] * w1
 

@@ -62,7 +62,7 @@ def occupancy_valid(
     wy = fy - y0.astype(fy.dtype)
     wz = fz - z0.astype(fz.dtype)
 
-    byte = jnp.take(packed, (z0 * h + y0) * w + x0).astype(jnp.int32)
+    byte = packed.at[(z0 * h + y0) * w + x0].get(mode="promise_in_bounds").astype(jnp.int32)
 
     valid = jnp.zeros(coords.shape[0], bool)
     k = 0
