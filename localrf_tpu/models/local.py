@@ -602,36 +602,32 @@ class LocalTensorfs:
             self.pool.arrays = place(self.pool.arrays)
         self._mesh_states_placed = True
 
-    def _place_batch(self, stacked: dict) -> dict:
+    def _place_stacked(self, stacked: dict, sharded_keys) -> dict:
+        """Place [K, ...]-stacked host arrays on the mesh: keys whose axis 1
+        is the ray/view axis shard over it, the rest replicate."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in stacked.items()}
-        from ..parallel.sharding import _SHARDED_KEYS
-
         data, repl = self._mesh_shardings()
         out = {}
         for k, v in stacked.items():
-            if k in _SHARDED_KEYS and v.shape[1] % self.mesh.size == 0:
+            v = np.asarray(v)
+            if k in sharded_keys and v.shape[1] % self.mesh.size == 0:
                 out[k] = jax.device_put(v, data)
             else:
                 out[k] = jax.device_put(v, repl)
         self._ensure_mesh_states(repl)
         return out
 
+    def _place_batch(self, stacked: dict) -> dict:
+        from ..parallel.sharding import _SHARDED_KEYS
+
+        return self._place_stacked(stacked, _SHARDED_KEYS)
+
     # index-stream keys of the pooled path whose axis 1 is the ray/view axis
     _POOL_SHARDED_KEYS = ("px", "slots", "view_ids")
 
     def _place_pool_batch(self, stacked: dict) -> dict:
-        if self.mesh is None:
-            return {k: jnp.asarray(v) for k, v in stacked.items()}
-        data, repl = self._mesh_shardings()
-        out = {}
-        for k, v in stacked.items():
-            if k in self._POOL_SHARDED_KEYS and v.shape[1] % self.mesh.size == 0:
-                out[k] = jax.device_put(np.asarray(v), data)
-            else:
-                out[k] = jax.device_put(np.asarray(v), repl)
-        self._ensure_mesh_states(repl)
-        return out
+        return self._place_stacked(stacked, self._POOL_SHARDED_KEYS)
 
     def attach_pool(self, pool) -> None:
         """Use a DevicePixelPool: batches become int32 index streams and the
@@ -790,6 +786,15 @@ class LocalTensorfs:
         params = jax.tree.map(jnp.asarray, f["params"])
         f["_dev_cache"] = (f["params"], params)
         return params
+
+    def clear_eval_cache(self):
+        """Drop the per-field device copies made by _eval_params.
+
+        Call after a render session: the cache holds a full copy of every
+        evaluated field's factor grids in HBM, which scales linearly with
+        field count if left to accumulate (renderer.render clears it)."""
+        for f in self.fields:
+            f.pop("_dev_cache", None)
 
     def forward_eval(
         self,

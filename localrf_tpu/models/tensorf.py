@@ -338,18 +338,21 @@ def apply_mlp(
 
     dt = jnp.dtype(cfg.mlp_dtype)
 
-    def dot(x, w):
+    def dot(x, w, out_dt):
+        # MXU accumulates f32 internally either way; hidden layers emit the
+        # compute dtype so bias/relu stay in it (no f32<->bf16 round trips
+        # between layers), the final layer emits f32 for the sigmoid/loss
         return jax.lax.dot_general(
             x.astype(dt), w.astype(dt), (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=out_dt,
         )
 
     def run(x, view_extra=()):
-        x = jax.nn.relu(dot(x, mlp["w1"]) + mlp["b1"])
-        x = jax.nn.relu(dot(x, mlp["w2"]) + mlp["b2"])
+        x = jax.nn.relu(dot(x, mlp["w1"], dt) + mlp["b1"].astype(dt))
+        x = jax.nn.relu(dot(x, mlp["w2"], dt) + mlp["b2"].astype(dt))
         if view_extra:
-            x = jnp.concatenate([x, *view_extra], axis=-1)
-        return jax.nn.sigmoid(dot(x, mlp["w3"]) + mlp["b3"])
+            x = jnp.concatenate([x, *(v.astype(dt) for v in view_extra)], axis=-1)
+        return jax.nn.sigmoid(dot(x, mlp["w3"], jnp.float32) + mlp["b3"])
 
     if mode == "MLP_Fea_late_view":
         indata = [features]

@@ -54,15 +54,12 @@ def make_sp_mesh(n_devices: int | None = None) -> Mesh:
 
 def _z_vals_dense(n_samples_total: int):
     """Deterministic (eval) contracted-sampling z/dists, [1, S] each —
-    matches ops/rays.sample_ray_contracted with is_train=False."""
-    n = n_samples_total // 6
-    t_vals = jnp.arange(n, dtype=jnp.float32)[None, :] / n
-    near, far = 1.0, 1e3
-    disp = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
-    z_vals = jnp.concatenate([t_vals, disp], axis=1) + 1e-1
-    dists = jnp.concatenate(
-        [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], axis=-1
-    )
+    taken straight from ops/rays.sample_ray_contracted (dummy ray) so the
+    schedule constants cannot drift from the sequential renderer's."""
+    from ..ops.rays import sample_ray_contracted
+
+    zero = jnp.zeros((1, 3))
+    _, z_vals, dists = sample_ray_contracted(zero, zero, n_samples_total, False, None)
     return z_vals, dists
 
 

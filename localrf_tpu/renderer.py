@@ -11,7 +11,7 @@ import os
 import numpy as np
 
 from .ops.math import get_fwd_bwd_cam2cams, get_pred_flow, compute_depth_loss
-from .utils.metrics import rgb_ssim
+from .utils.metrics import lpips_backbone, rgb_lpips, rgb_ssim
 from .utils.vis import draw_poses, visualize_depth
 
 
@@ -191,7 +191,16 @@ def render(
             if add_frame_to_list:
                 gt_rgbs_tb.append(gt)
             mse = float(np.mean((gt - rgb_map) ** 2))
-            metrics[fbase] = {"mse": mse, "ssim": rgb_ssim(gt, rgb_map, 1)}
+            metrics[fbase] = {
+                "mse": mse,
+                "ssim": rgb_ssim(gt, rgb_map, 1),
+                # ref logs LPIPS at eval too (utils/utils.py:210-226);
+                # "lpips_backbone" records whether official weights were used
+                "lpips": rgb_lpips(
+                    gt.astype(np.float32), rgb_map.astype(np.float32)
+                ),
+                "lpips_backbone": lpips_backbone(),
+            }
 
         if save_frames and save_path is not None:
             os.makedirs(f"{save_path}/rgb_maps", exist_ok=True)
@@ -229,6 +238,9 @@ def render(
                 except Exception as e:  # no ffmpeg backend: frames are still
                     # saved as images under rgb_maps//depth_maps/
                     print(f"mp4 export skipped ({name}): {e}")
+
+    # release the per-field HBM copies cached during this render session
+    local_tensorfs.clear_eval_cache()
 
     return (
         rgb_maps_tb,

@@ -328,11 +328,9 @@ def reconstruction(args, train_dataset=None, test_dataset=None):
         model.set_mesh(make_mesh(dp))
         print(f"ray-batch data parallelism over {dp} devices")
 
-    if (
-        getattr(args, "pixel_pool", 0)
-        and getattr(args, "scan_chunk", 1) > 1
-        and model.mesh is None
-    ):
+    if getattr(args, "pixel_pool", 0) and getattr(args, "scan_chunk", 1) > 1:
+        # composes with ray-batch DP: pool arrays are replicated over the
+        # mesh and rows gathered on-device (see local._place_pool_batch)
         from .data.pool import DevicePixelPool
 
         capacity = args.n_max_frames + args.n_overlap + 16

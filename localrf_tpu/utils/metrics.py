@@ -75,4 +75,23 @@ def rgb_lpips(np_gt: np.ndarray, np_im: np.ndarray, net_name: str = "alex") -> f
         raise ValueError(f"only the 'alex' LPIPS variant is supported, got {net_name}")
     from . import lpips as jlpips
 
+    global _warned_random_lpips
+    if not jlpips.has_pretrained() and not _warned_random_lpips:
+        _warned_random_lpips = True
+        print(
+            "rgb_lpips: pretrained LPIPS weights not found (see"
+            " scripts/download_weights.sh) — using the fixed-seed random"
+            " backbone. Values are self-consistent but NOT comparable to"
+            " published LPIPS numbers."
+        )
     return jlpips.lpips(jlpips.get_params(), np_gt, np_im)
+
+
+_warned_random_lpips = False
+
+
+def lpips_backbone() -> str:
+    """Which LPIPS variant rgb_lpips is using: log beside reported values."""
+    from . import lpips as jlpips
+
+    return "pretrained" if jlpips.has_pretrained() else "random-init"
