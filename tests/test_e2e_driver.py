@@ -124,3 +124,45 @@ def test_renderer_annotate(tmp_path):
     assert len(metrics) >= 1
     import os
     assert os.path.isdir(f"{tmp_path}/rgb_maps")
+
+
+def test_reconstruction_pool_with_data_parallel(tmp_path):
+    """The CLI composes --pixel_pool with --data_parallel (the pool gate on
+    an absent mesh was removed): pooled index-stream batches run over a
+    2-device mesh end-to-end."""
+    from localrf_tpu.train import reconstruction
+
+    scene = str(tmp_path / "scene")
+    log = str(tmp_path / "log")
+    make_scene_dir(scene)
+
+    args = config_parser(
+        [
+            "--datadir", scene,
+            "--logdir", log,
+            "--batch_size", "64",
+            "--n_views", "4",
+            "--n_init_frames", "3",
+            "--n_iters_per_frame", "6",
+            "--n_iters_reg", "3",
+            "--N_voxel_init", str(14**3),
+            "--N_voxel_final", str(14**3),
+            "--upsamp_list", "1000",
+            "--update_AlphaMask_list", "1000",
+            "--add_frames_every", "3",
+            "--n_overlap", "2",
+            "--n_max_frames", "5",
+            "--max_drift", "100",
+            "--test_frame_every", "0",
+            "--vis_every", "1000",
+            "--fov", "60",
+            "--scan_chunk", "4",
+            "--pixel_pool", "1",
+            "--data_parallel", "2",
+            "--skip_saving_video",
+        ]
+    )
+    model, metrics = reconstruction(args)
+    assert model.mesh is not None and model.mesh.size == 2
+    assert model.pool is not None
+    assert os.path.isfile(f"{log}/checkpoints.th")
