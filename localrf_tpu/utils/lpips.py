@@ -143,7 +143,21 @@ def lpips_nchw(params: dict, x0: jax.Array, x1: jax.Array) -> jax.Array:
 
 
 def lpips(params: dict, img0: np.ndarray, img1: np.ndarray) -> float:
-    """LPIPS between two [H, W, 3] images in [0, 1] (normalize=True mode)."""
+    """LPIPS between two [H, W, 3] images in [0, 1] (normalize=True mode).
+
+    Inputs smaller than 32 px on a side are bilinearly upscaled first: the
+    AlexNet stack downsamples ~32x, so tiny images would reach an empty
+    feature map (mean over zero elements -> NaN)."""
+    h, w = img0.shape[:2]
+    if min(h, w) < 32:
+        scale = 32.0 / min(h, w)
+        new_hw = (int(round(h * scale)), int(round(w * scale)), 3)
+        img0 = np.asarray(
+            jax.image.resize(jnp.asarray(img0, jnp.float32), new_hw, "bilinear")
+        )
+        img1 = np.asarray(
+            jax.image.resize(jnp.asarray(img1, jnp.float32), new_hw, "bilinear")
+        )
     x0 = jnp.asarray(img0, jnp.float32).transpose(2, 0, 1)[None] * 2.0 - 1.0
     x1 = jnp.asarray(img1, jnp.float32).transpose(2, 0, 1)[None] * 2.0 - 1.0
     return float(lpips_nchw(params, x0, x1)[0])
