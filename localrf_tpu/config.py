@@ -145,7 +145,9 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         choices=["float32", "bfloat16"],
         help="dtype of the derived factor-grid gather tables (canonical"
         " params stay float32). bfloat16 nearly halves the dominant"
-        " gather/scatter HBM traffic; convergence-tested",
+        " gather/scatter HBM traffic; interpolation weights are also"
+        " rounded to bf16, quantizing sub-voxel positions to ~1/256 of a"
+        " texel (convergence-tested; see tests/test_golden_trajectory.py)",
     )
     parser.add_argument(
         "--mlp_dtype", type=str, default="bfloat16",

@@ -17,8 +17,13 @@ import jax.numpy as jnp
 
 
 def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
-    """[-1, 1] -> [0, size-1] texel space, clamped (border padding)."""
-    x = (coord + 1.0) * 0.5 * (size - 1)
+    """[-1, 1] -> [0, size-1] texel space, clamped (border padding).
+
+    NaN coordinates (e.g. from a diverged pose) map to texel 0: the hot
+    gathers run with mode='promise_in_bounds', where a NaN-derived index
+    would otherwise be platform-dependent garbage instead of a deterministic
+    clamp. The nan_to_num fuses into the surrounding elementwise block."""
+    x = (jnp.nan_to_num(coord) + 1.0) * 0.5 * (size - 1)
     return jnp.clip(x, 0.0, size - 1)
 
 

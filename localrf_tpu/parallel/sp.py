@@ -24,7 +24,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.7 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.tensorf import (
@@ -152,6 +155,16 @@ def render_rays_sp(
         return jax.lax.psum(out, SAMPLE_AXIS)
 
     spec_rep = P()
+    # jax >= 0.8 renamed check_rep -> check_vma; both disable the
+    # replication/varying checker (the psum composition is replicated by
+    # construction, and the checker rejects replicated params in older jax)
+    import inspect
+
+    check_kw = (
+        "check_vma"
+        if "check_vma" in inspect.signature(shard_map).parameters
+        else "check_rep"
+    )
     fn = shard_map(
         functools.partial(segment),
         mesh=mesh,
@@ -161,7 +174,7 @@ def render_rays_sp(
             spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
         ),
         out_specs=spec_rep,
-        check_rep=False,
+        **{check_kw: False},
     )
     out = fn(z_vals, dists, rays_o, viewdirs, params, quad, alpha_volume)
     rgb_map, acc_map, depth_map = out[:, :3], out[:, 3], out[:, 4]

@@ -191,12 +191,17 @@ def render(
             if add_frame_to_list:
                 gt_rgbs_tb.append(gt)
             mse = float(np.mean((gt - rgb_map) ** 2))
+            # ref logs LPIPS at eval too (utils/utils.py:210-226). Without
+            # official weights the fixed-seed-backbone distance is reported
+            # under a DISTINCT key so it can never be mistaken for a
+            # publishable LPIPS number; "lpips_backbone" records which.
+            lpips_key = (
+                "lpips" if lpips_backbone() == "pretrained" else "lpips_randinit"
+            )
             metrics[fbase] = {
                 "mse": mse,
                 "ssim": rgb_ssim(gt, rgb_map, 1),
-                # ref logs LPIPS at eval too (utils/utils.py:210-226);
-                # "lpips_backbone" records whether official weights were used
-                "lpips": rgb_lpips(
+                lpips_key: rgb_lpips(
                     gt.astype(np.float32), rgb_map.astype(np.float32)
                 ),
                 "lpips_backbone": lpips_backbone(),

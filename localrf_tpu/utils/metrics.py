@@ -1,9 +1,10 @@
 """Evaluation metrics: PSNR, SSIM (mipnerf-style), optional LPIPS.
 
 SSIM mirrors the reference's numpy implementation (ref: utils/utils.py:
-232-287, itself derived from google/mipnerf). LPIPS is exposed behind a
-lazy hook because pretrained perceptual weights are not vendored; it returns
-NaN when unavailable rather than failing the pipeline.
+232-287, itself derived from google/mipnerf). LPIPS always returns a finite
+value: official converted weights when present, else a documented fixed-seed
+random backbone — callers must report the latter under a distinct metric key
+(see renderer.py) so it is never mistaken for a publishable LPIPS number.
 """
 from __future__ import annotations
 

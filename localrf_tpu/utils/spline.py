@@ -7,7 +7,9 @@ then re-orthonormalization — but organized around vectorized block medians
 and a single channel-smoothing helper instead of the reference's
 stride-trick window walker.
 
-Output parity with the reference is asserted in tests/test_utils.py.
+tests/test_utils.py checks output shape, rotation orthonormality, and
+endpoint behavior (not bit-level numerical parity with the reference —
+the decompositions differ by design).
 """
 from __future__ import annotations
 
