@@ -221,6 +221,19 @@ class _TorchRAFT:
 # --------------------------------------------------------------------------
 
 
+def test_replica_matches_official_checkpoint_manifest():
+    """The replica's parameter inventory must match the frozen key/shape
+    listing of the official raft-things.pth (tests/raft_things_manifest.py,
+    annotated against the RAFT paper's layer table). Guards against the
+    replica and the JAX port agreeing only via a shared misreading of the
+    architecture (VERDICT r2 #9)."""
+    from raft_things_manifest import OFFICIAL_RAFT_THINGS_MANIFEST
+
+    sd = _random_state_dict()
+    inventory = {k: tuple(v.shape) for k, v in sd.items()}
+    assert inventory == OFFICIAL_RAFT_THINGS_MANIFEST
+
+
 def test_raft_graph_parity_vs_torch_replica(tmp_path):
     from localrf_tpu.preprocess.convert import convert_raft_checkpoint
 
