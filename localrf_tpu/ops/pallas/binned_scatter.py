@@ -1,0 +1,179 @@
+"""Pallas TPU kernel: binned (sort + per-tile MXU one-hot matmul) scatter-add.
+
+The factor-grid backward scatters are the #1 cost of the 640^3 train step
+(~101 of 273 ms, PERF.md): XLA lowers every scatter-add to a sort-based
+emitter running at ~17 ns/index — only ~5-9% of v5e HBM bandwidth for
+128-lane rows, i.e. latency/emitter-bound, not bandwidth-bound (see PERF.md
+roofline). This kernel replaces the emitter for large tables
+(ref op: the autograd scatter behind models/tensoRF.py:135-191):
+
+  1. sort the flat row indices (XLA variadic sort, ~2 ms at 1.36M),
+  2. reorder the [P, C] payload into sorted order (one XLA gather),
+  3. partition the sorted stream into contiguous output tiles of
+     `tile_rows` rows and run ONE MXU one-hot matmul chain per tile:
+         out[tile] += onehot(idx - tile_start)^T @ payload_chunk
+     over only the chunks that overlap the tile (a megablocks-style
+     scalar-prefetched schedule; boundary chunks are shared between
+     neighboring tiles and masked by row range).
+
+Binning removes exactly the T_tiles x P flops blow-up that makes the plain
+segment-sum (ops/pallas/segsum.py) lose on plane-sized tables: each chunk is
+visited by the 1-2 tiles its sorted rows span instead of by every tile.
+
+Accumulation is f32 in VMEM regardless of payload dtype (bf16 payloads use
+the MXU bf16 path), then cast to the requested output dtype once.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_ROWS = 256
+CHUNK = 1024
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(
+    # scalar prefetch
+    sched_t_ref, sched_c_ref, sched_w_ref,
+    # blocked inputs
+    idx_ref,  # [1, CHUNK] int32 (sorted)
+    g_ref,    # [CHUNK, C] payload (sorted order)
+    out_ref,  # [TILE_ROWS, C] f32 accumulator (revisited across steps)
+    *,
+    tile_rows: int,
+):
+    s = pl.program_id(0)
+    t = sched_t_ref[s]
+    prev_t = jnp.where(s == 0, -1, sched_t_ref[jnp.maximum(s - 1, 0)])
+
+    @pl.when(t != prev_t)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    local = idx_ref[0, :] - t * tile_rows  # [CHUNK]
+    valid = (local >= 0) & (local < tile_rows)
+    # sched_w kills trailing no-op padding steps (their clamped chunk could
+    # contain rows genuinely belonging to the last tile -> double count)
+    valid &= sched_w_ref[s] > 0
+    local = jnp.where(valid, local, -1)
+    onehot = (
+        local[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (local.shape[0], tile_rows), 1)
+    ).astype(g_ref.dtype)
+    out_ref[:] += jax.lax.dot_general(
+        onehot,
+        g_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def binned_segment_sum(
+    idx: jax.Array,
+    g: jax.Array,
+    n_rows: int,
+    *,
+    tile_rows: int = TILE_ROWS,
+    chunk: int = CHUNK,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """out[n_rows, C] = sum_{p: idx_p == r} g_p, via sort + binned MXU tiles.
+
+    idx: int32 [P] in [0, n_rows); g: [P, C] with C a multiple of 128
+    preferred. Returns [n_rows, C] in `out_dtype` (accumulated in f32).
+    """
+    p, c = g.shape
+
+    # 1. sort indices, carrying the original position
+    pos = jax.lax.iota(jnp.int32, p)
+    sorted_idx, order = jax.lax.sort(
+        (idx.astype(jnp.int32), pos), dimension=0, num_keys=1
+    )
+    # 2. payload into sorted order (XLA per-index gather — measured the
+    #    binned path's floor; see PERF.md)
+    g_sorted = g.at[order].get(mode="promise_in_bounds")
+
+    # pad points to a chunk multiple with out-of-range rows (masked in-kernel)
+    pad_p = (-p) % chunk
+    if pad_p:
+        sorted_idx = jnp.concatenate(
+            [sorted_idx, jnp.full((pad_p,), n_rows, jnp.int32)]
+        )
+        g_sorted = jnp.pad(g_sorted, ((0, pad_p), (0, 0)))
+    nc = (p + pad_p) // chunk
+
+    pad_t = (-n_rows) % tile_rows
+    n_tiles = (n_rows + pad_t) // tile_rows
+
+    # 3. megablocks-style schedule: one grid step per (tile, overlapping
+    #    chunk) pair, tiles in order. Empty tiles get one dummy step (their
+    #    row-range mask matches nothing) so their output block is zeroed.
+    bounds = jnp.arange(n_tiles, dtype=jnp.int32) * tile_rows
+    cs = jnp.searchsorted(sorted_idx, bounds, side="left").astype(jnp.int32)
+    ce = jnp.concatenate([cs[1:], jnp.array([p], jnp.int32)])
+    ch_s = cs // chunk
+    ch_e = (ce + chunk - 1) // chunk
+    n_t = jnp.maximum(ch_e - ch_s, 1)
+    s_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_t)[:-1].astype(jnp.int32)]
+    )
+    s_total = s_start[-1] + n_t[-1]
+    s_max = nc + n_tiles  # static bound on sum(n_t)
+    steps = jnp.arange(s_max, dtype=jnp.int32)
+    sched_t = (
+        jnp.searchsorted(s_start, steps, side="right").astype(jnp.int32) - 1
+    )
+    sched_c = jnp.clip(
+        ch_s[sched_t] + steps - s_start[sched_t], 0, max(nc - 1, 0)
+    )
+    sched_w = (steps < s_total).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, tile_rows=tile_rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(s_max,),
+            in_specs=[
+                pl.BlockSpec((1, chunk), lambda s, st, sc, sw: (sc[s], 0)),
+                pl.BlockSpec((chunk, c), lambda s, st, sc, sw: (sc[s], 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_rows, c), lambda s, st, sc, sw: (st[s], 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows + pad_t, c), jnp.float32),
+        interpret=_interpret(),
+    )(
+        sched_t, sched_c, sched_w,
+        sorted_idx.reshape(nc, chunk),
+        g_sorted,
+    )
+    return out[:n_rows].astype(out_dtype)
+
+
+@jax.custom_vjp
+def take_rows_binned(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather whose backward is the binned sort+MXU scatter-add."""
+    return table.at[idx].get(mode="promise_in_bounds")
+
+
+def _take_fwd(table, idx):
+    # dtype carried as a zero-size array (dtype objects are not JAX types)
+    proto = jnp.zeros((0,), table.dtype)
+    return take_rows_binned(table, idx), (idx, table.shape[0], proto)
+
+
+def _take_bwd(res, gr):
+    idx, n_rows, proto = res
+    return binned_segment_sum(idx, gr, n_rows, out_dtype=proto.dtype), None
+
+
+take_rows_binned.defvjp(_take_fwd, _take_bwd)

@@ -1,0 +1,96 @@
+"""Binned (sort + per-tile MXU one-hot) scatter-add vs the jnp scatter
+oracle — forward, backward, and the ragged schedule's edge cases
+(empty tiles, single hot tile, non-multiple sizes). Runs in Pallas
+interpret mode on the CPU test backend; the TPU path is exercised by
+scripts/profile_scatter.py and bench.py."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localrf_tpu.ops.pallas.binned_scatter import (
+    binned_segment_sum,
+    take_rows_binned,
+)
+
+
+def _oracle(idx, g, n_rows):
+    return jnp.zeros((n_rows, g.shape[1]), jnp.float32).at[idx].add(
+        g.astype(jnp.float32)
+    )
+
+
+@pytest.mark.parametrize(
+    "n_rows,p,dist",
+    [
+        (1000, 4096, "uniform"),   # rows not a tile multiple
+        (512, 999, "uniform"),     # points not a chunk multiple
+        (2048, 4096, "hot"),       # everything lands in one tile
+        (2048, 4096, "sparse"),    # most tiles empty
+        (130, 64, "uniform"),      # fewer points than one chunk
+    ],
+)
+def test_binned_segment_sum_matches_oracle(rng, n_rows, p, dist):
+    if dist == "uniform":
+        idx = rng.integers(0, n_rows, size=p)
+    elif dist == "hot":
+        idx = rng.integers(5, 60, size=p)
+    else:
+        idx = rng.choice([3, n_rows - 1, n_rows // 2], size=p)
+    g = rng.standard_normal((p, 128), dtype=np.float32)
+    idx = jnp.asarray(idx, jnp.int32)
+    g = jnp.asarray(g)
+
+    out = binned_segment_sum(idx, g, n_rows, tile_rows=128, chunk=256)
+    ref = _oracle(idx, g, n_rows)
+    # accumulation order differs from the oracle's (per-chunk partial sums);
+    # tolerance sized for ~1e3 f32 adds per row
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_binned_segment_sum_bf16_payload(rng):
+    n_rows, p = 384, 2048
+    idx = jnp.asarray(rng.integers(0, n_rows, size=p), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((p, 128)), jnp.bfloat16)
+    out = binned_segment_sum(idx, g, n_rows, tile_rows=128, chunk=256)
+    ref = _oracle(idx, g, n_rows)
+    # bf16 inputs, f32 accumulation — matches the oracle's f32 accumulation
+    # of bf16-rounded values to f32 tolerance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_take_rows_binned_grad_matches_plain_take(rng):
+    n_rows, p, c = 300, 1111, 128
+    table = jnp.asarray(rng.standard_normal((n_rows, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n_rows, size=p), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((p, c)), jnp.float32)
+
+    def f_binned(t):
+        return jnp.vdot(take_rows_binned(t, idx), cot)
+
+    def f_plain(t):
+        return jnp.vdot(jnp.take(t, idx, axis=0), cot)
+
+    g_binned = jax.grad(f_binned)(table)
+    g_plain = jax.grad(f_plain)(table)
+    np.testing.assert_allclose(
+        np.asarray(g_binned), np.asarray(g_plain), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_take_rows_binned_bf16_table_grad_dtype(rng):
+    """custom_vjp must return the cotangent in the primal (bf16) dtype; the
+    f32 accumulation is rounded once at the end (XLA's scatter accumulates
+    in bf16 — ours is at least as accurate)."""
+    n_rows, p, c = 256, 512, 128
+    table = jnp.asarray(rng.standard_normal((n_rows, c)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, n_rows, size=p), jnp.int32)
+
+    g = jax.grad(lambda t: jnp.sum(take_rows_binned(t, idx).astype(jnp.float32)))(
+        table
+    )
+    assert g.dtype == jnp.bfloat16
+    ref = _oracle(idx, jnp.ones((p, c), jnp.float32), n_rows)
+    np.testing.assert_allclose(
+        np.asarray(g, np.float32), np.asarray(ref), rtol=0.01, atol=0.01
+    )
