@@ -11,9 +11,13 @@ Run on the real TPU. Not part of the test suite.
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 
 def timeit(fn, *args, n=10, warmup=2):
@@ -78,6 +82,31 @@ def main():
             )
 
         print(f"line segsum-matmul           : {timeit(jax.jit(seg_matmul), idx_l, g_l):7.2f} ms")
+
+    # --- binned Pallas scatter (VERDICT r3 item 1): sweep tile/chunk ---
+    from localrf_tpu.ops.pallas.binned_scatter import binned_segment_sum
+
+    g_bf = jax.random.normal(k1, (P, 128)).astype(jnp.bfloat16)
+    for tile_rows in (256, 512, 1024):
+        for chunk in (1024, 2048, 4096):
+            fn = jax.jit(
+                lambda i, g, tr=tile_rows, ck=chunk: jnp.sum(
+                    binned_segment_sum(i, g, R, tile_rows=tr, chunk=ck)
+                )
+            )
+            try:
+                ms = timeit(fn, idx_p, g_bf)
+                print(f"binned plane scatter tile={tile_rows:4d} chunk={chunk:4d}: {ms:7.2f} ms")
+            except Exception as e:
+                print(f"binned tile={tile_rows} chunk={chunk}: FAILED {type(e).__name__}: {str(e)[:200]}")
+
+    # components of the binned path (best config measured above)
+    def prep(i, g):
+        si, perm = jax.lax.sort_key_val(i, jnp.arange(i.shape[0], dtype=jnp.int32))
+        gs = g.at[perm].get(mode="promise_in_bounds")
+        return jnp.sum(gs.astype(jnp.float32)) + jnp.sum(si)
+
+    print(f"binned prep only (sort+reorder): {timeit(jax.jit(prep), idx_p, g_bf):7.2f} ms")
 
     # cost of the sort alone and occ byte-gather for context
     import jax
