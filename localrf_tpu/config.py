@@ -124,6 +124,25 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         help="use fused Pallas kernels on TPU (0 = pure-XLA reference path)",
     )
     parser.add_argument(
+        "--seed", type=int, default=20211202,
+        help="RNG seed for pixel sampling / init (reference hardcodes"
+        " 20211202 at train.py:648; exposed here for variance studies)",
+    )
+    parser.add_argument(
+        "--line_bwd", type=str, default="onehot",
+        choices=["gather", "segsum", "onehot"],
+        help="backward strategy for line-factor gathers: XLA scatter"
+        " emitter, Pallas MXU segment-sum, or pure-XLA one-hot matmul"
+        " (default; fastest measured in-step at production shapes, PERF.md)",
+    )
+    parser.add_argument(
+        "--binned_scatter", type=int, default=1,
+        help="route large plane-table backward scatters through the binned"
+        " Pallas kernel (sort + per-tile MXU one-hot matmuls) instead of"
+        " XLA's per-index scatter emitter (in-step win on >=65536-row"
+        " tables, PERF.md); 0 = XLA emitter everywhere",
+    )
+    parser.add_argument(
         "--data_parallel", type=int, default=0,
         help="shard the ray batch over this many devices (0 = all available)",
     )

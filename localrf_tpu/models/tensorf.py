@@ -69,11 +69,22 @@ class TensorfConfig:
     # hand-written Pallas kernel for the fused alpha/transmittance/weights
     # scan with analytic VJP (ops/pallas/composite.py)
     pallas_composite: bool = False
-    # route line-factor backward through the sort-free MXU segment-sum
-    # (ops/pallas/segsum.py). Wins 2x on isolated large-P line scatters but
-    # loses in the fused step at reference batch sizes (breaks XLA fusion);
-    # kept as opt-in infrastructure for larger-batch deployments
+    # backward strategy for line-factor gathers: "gather" = XLA scatter
+    # emitter; "segsum" = Pallas MXU segment-sum (wins isolated, breaks
+    # fusion in-step — opt-in); "onehot" = pure-XLA one-hot matmul
+    # segment-sum (no fusion boundary; in-step 640^3: 272.6 -> 235.0 ms/it,
+    # PERF.md r3) — the default
+    line_bwd: str = "onehot"
+    # legacy alias for line_bwd="segsum" (kept for checkpoint kwargs compat)
     matmul_segsum: bool = False
+    # route large plane-table backward scatters through the binned Pallas
+    # kernel (sort + per-tile MXU one-hot matmuls, ops/pallas/
+    # binned_scatter.py) instead of XLA's ~17 ns/index scatter emitter.
+    # Applied only to tables with >= binned_min_rows rows, where the kernel
+    # wins in-step (640^3: 235.0 -> 225.8 ms/it; 404^3: 165.6 -> 156.5,
+    # PERF.md r3) — the default
+    binned_scatter: bool = True
+    binned_min_rows: int = 65536
     # occupancy compaction (see ops/occupancy.py): with an alpha volume
     # present, compute density only at the first occ_m occupied samples per
     # ray (static shape). 0 = dense masked compute. Exact vs the reference
@@ -87,6 +98,11 @@ class TensorfConfig:
     fea_pe: int = 0
     aabb_lo: tuple[float, float, float] = (-2.0, -2.0, -2.0)
     aabb_hi: tuple[float, float, float] = (2.0, 2.0, 2.0)
+
+    @property
+    def line_mode(self) -> str:
+        """Effective line-gather backward mode (legacy flag wins)."""
+        return "segsum" if self.matmul_segsum else self.line_bwd
 
     @property
     def aabb(self) -> np.ndarray:
@@ -253,8 +269,14 @@ def compute_density_app_features(
         cd = params[f"density_plane_{i}"].shape[0]
         ca = params[f"app_plane_{i}"].shape[0]
         c = cd + ca
-        pf = quad_sample_2d(quad[f"comb_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c)
-        lf = quad_sample_1d(quad[f"comb_line_{i}"], g[v], pts[:, v], c, cfg.matmul_segsum)
+        binned = (
+            cfg.binned_scatter
+            and quad[f"comb_plane_{i}"].shape[0] >= cfg.binned_min_rows
+        )
+        pf = quad_sample_2d(
+            quad[f"comb_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c, binned
+        )
+        lf = quad_sample_1d(quad[f"comb_line_{i}"], g[v], pts[:, v], c, cfg.line_mode)
         prod = pf * lf  # [P, cd+ca]
         sigma = sigma + jnp.sum(prod[:, :cd].astype(jnp.float32), axis=-1)
         prods.append(prod[:, cd:])
@@ -282,7 +304,7 @@ def compute_density_feature(params, pts: jax.Array, cfg=None, quad=None) -> jax.
                 quad[f"density_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c
             )
             lf = quad_sample_1d(
-                quad[f"density_line_{i}"], g[v], pts[:, v], c, cfg.matmul_segsum
+                quad[f"density_line_{i}"], g[v], pts[:, v], c, cfg.line_mode
             )
         else:
             pf = grid_sample_2d(params[f"density_plane_{i}"], pts[:, (m0, m1)])
@@ -304,7 +326,7 @@ def compute_app_feature(params, pts: jax.Array, cfg=None, quad=None) -> jax.Arra
                 quad[f"app_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c
             )
             lf = quad_sample_1d(
-                quad[f"app_line_{i}"], g[v], pts[:, v], c, cfg.matmul_segsum
+                quad[f"app_line_{i}"], g[v], pts[:, v], c, cfg.line_mode
             )
         else:
             pf = grid_sample_2d(params[f"app_plane_{i}"], pts[:, (m0, m1)])

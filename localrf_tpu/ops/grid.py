@@ -158,17 +158,28 @@ def build_quad_line(line: jax.Array) -> jax.Array:
 
 
 def quad_sample_2d(
-    quad: jax.Array, h: int, w: int, coords: jax.Array, c: int
+    quad: jax.Array, h: int, w: int, coords: jax.Array, c: int,
+    binned: bool = False,
 ) -> jax.Array:
     """Bilinear sample from a quad-packed plane. coords [P, 2] as (x, y);
-    `c` is the channel count (rows may be lane-padded)."""
+    `c` is the channel count (rows may be lane-padded).
+
+    binned=True routes the backward scatter-add through the binned Pallas
+    kernel (sort + per-tile MXU one-hot matmuls, ops/pallas/binned_scatter)
+    instead of XLA's per-index scatter emitter — profitable on large tables
+    (see PERF.md)."""
     x = _unnormalize(coords[:, 0], w)
     y = _unnormalize(coords[:, 1], h)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     wx = (x - x0.astype(x.dtype))[:, None]
     wy = (y - y0.astype(y.dtype))[:, None]
-    rows = quad.at[y0 * w + x0].get(mode="promise_in_bounds")  # [P, >=4C]
+    if binned:
+        from .pallas.binned_scatter import take_rows_binned
+
+        rows = take_rows_binned(quad, y0 * w + x0)  # [P, >=4C]
+    else:
+        rows = quad.at[y0 * w + x0].get(mode="promise_in_bounds")  # [P, >=4C]
     # lerp in the table dtype: with bf16 tables an f32 weight would promote
     # every [P, 4C] row to f32 (a measured ~11 ms/step convert at 640^3);
     # the weights are in [0,1] so bf16 weights lose <=2^-8 relative — the
@@ -187,20 +198,28 @@ def quad_sample_2d(
 
 
 def quad_sample_1d(
-    quad: jax.Array, d: int, coords: jax.Array, c: int, segsum: bool = False
+    quad: jax.Array, d: int, coords: jax.Array, c: int, mode: str = "gather"
 ) -> jax.Array:
     """Linear sample from a quad-packed line. coords [P] in [-1, 1].
 
-    segsum=True routes the backward through the sort-free MXU segment-sum
-    (2x faster than XLA's sort-based scatter for line-sized tables, at MXU
-    f32 accumulation precision — see ops/pallas/segsum.py)."""
+    `mode` selects the backward for the row gather:
+      - "gather": XLA scatter-add emitter (~13-14 ms at 640^3 shapes)
+      - "segsum": Pallas MXU segment-sum (ops/pallas/segsum.py) — wins
+        isolated but breaks XLA fusion in the fused step; opt-in
+      - "onehot": pure-XLA one-hot matmul segment-sum — measured 3.3x the
+        emitter at 640^3 line shapes with no fusion boundary (PERF.md r3)
+    """
     x = _unnormalize(coords, d)
     x0 = jnp.floor(x).astype(jnp.int32)
     w1 = (x - x0.astype(x.dtype))[:, None]
-    if segsum:
+    if mode == "segsum":
         from .pallas.segsum import take_rows
 
         rows = take_rows(quad, x0)
+    elif mode == "onehot":
+        from .pallas.segsum import take_rows_onehot
+
+        rows = take_rows_onehot(quad, x0)
     else:
         rows = quad.at[x0].get(mode="promise_in_bounds")  # [P, >=2C]
     w1 = w1.astype(rows.dtype)  # see quad_sample_2d: lerp in table dtype

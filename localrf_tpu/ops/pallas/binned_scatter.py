@@ -44,7 +44,7 @@ def _kernel(
     # scalar prefetch
     sched_t_ref, sched_c_ref, sched_w_ref,
     # blocked inputs
-    idx_ref,  # [1, CHUNK] int32 (sorted)
+    idx_ref,  # [1, 1, CHUNK] int32 (sorted)
     g_ref,    # [CHUNK, C] payload (sorted order)
     out_ref,  # [TILE_ROWS, C] f32 accumulator (revisited across steps)
     *,
@@ -58,20 +58,22 @@ def _kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    local = idx_ref[0, :] - t * tile_rows  # [CHUNK]
+    chunk = idx_ref.shape[-1]
+    local = idx_ref[0] - t * tile_rows  # [1, CHUNK]
     valid = (local >= 0) & (local < tile_rows)
     # sched_w kills trailing no-op padding steps (their clamped chunk could
     # contain rows genuinely belonging to the last tile -> double count)
     valid &= sched_w_ref[s] > 0
     local = jnp.where(valid, local, -1)
+    # transposed one-hot [TILE_ROWS, CHUNK]: keeps everything >= 2D for
+    # Mosaic and contracts over the chunk axis on the MXU
     onehot = (
-        local[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (local.shape[0], tile_rows), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0) == local
     ).astype(g_ref.dtype)
     out_ref[:] += jax.lax.dot_general(
         onehot,
         g_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -142,7 +144,9 @@ def binned_segment_sum(
             num_scalar_prefetch=3,
             grid=(s_max,),
             in_specs=[
-                pl.BlockSpec((1, chunk), lambda s, st, sc, sw: (sc[s], 0)),
+                # [nc, 1, chunk]: a (1, 1, chunk) block keeps the last two
+                # dims Mosaic-legal (1 == array dim, chunk % 128 == 0)
+                pl.BlockSpec((1, 1, chunk), lambda s, st, sc, sw: (sc[s], 0, 0)),
                 pl.BlockSpec((chunk, c), lambda s, st, sc, sw: (sc[s], 0)),
             ],
             out_specs=pl.BlockSpec(
@@ -153,7 +157,7 @@ def binned_segment_sum(
         interpret=_interpret(),
     )(
         sched_t, sched_c, sched_w,
-        sorted_idx.reshape(nc, chunk),
+        sorted_idx.reshape(nc, 1, chunk),
         g_sorted,
     )
     return out[:n_rows].astype(out_dtype)

@@ -97,3 +97,41 @@ def _take_bwd(res, gr):
 
 
 take_rows.defvjp(_take_fwd, _take_bwd)
+
+
+# --------------------------------------------------------------------------
+# Pure-XLA one-hot matmul segment-sum — no Pallas boundary, so XLA keeps
+# fusing the cotangent computation into the backward. For line-sized tables
+# (D <= ~1k rows) the [P, D] one-hot dot is bandwidth-bound at ~4 ms on v5e
+# (1.36M x 640 bf16 one-hot materialized once) vs ~13-14 ms for XLA's
+# per-index scatter emitter — measured 3.3x (scripts/profile_scatter.py).
+# The Pallas variant above regressed in-step by breaking fusion; this one
+# does not (PERF.md round 3).
+# --------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def take_rows_onehot(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather whose backward is a pure-XLA one-hot matmul segment-sum."""
+    return table.at[idx].get(mode="promise_in_bounds")
+
+
+def _take_oh_fwd(table, idx):
+    proto = jnp.zeros((0,), table.dtype)
+    return take_rows_onehot(table, idx), (idx, table.shape[0], proto)
+
+
+def _take_oh_bwd(res, gr):
+    idx, n_rows, proto = res
+    onehot = (
+        idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+    ).astype(gr.dtype)
+    out = jax.lax.dot_general(
+        onehot, gr,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(proto.dtype), None
+
+
+take_rows_onehot.defvjp(_take_oh_fwd, _take_oh_bwd)

@@ -210,6 +210,8 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         fea_pe=args.fea_pe,
         app_top_k=getattr(args, "app_top_k", 128),
         pallas_composite=bool(getattr(args, "use_pallas", 0)),
+        binned_scatter=bool(getattr(args, "binned_scatter", 0)),
+        line_bwd=getattr(args, "line_bwd", "gather"),
         gather_dtype=getattr(args, "gather_dtype", "bfloat16"),
         mlp_dtype=getattr(args, "mlp_dtype", "bfloat16"),
         aabb_lo=tuple(float(v) for v in aabb[0]),
@@ -242,6 +244,7 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         occ_ratio=getattr(args, "occ_ratio", 0.45),
         occ_min=getattr(args, "occ_min", 256),
         moment_dtype=getattr(args, "moment_dtype", "float32"),
+        seed=getattr(args, "seed", 20211202),
         tensorf=tf_cfg,
     )
     return LocalTensorfs(cfg, camera_prior)
@@ -639,7 +642,7 @@ def _make_writer(logfolder):
 def main():
     args = config_parser()
     print(args)
-    np.random.seed(20211202)
+    np.random.seed(getattr(args, "seed", 20211202))
 
     # persistent XLA compilation cache: the coarse-to-fine schedule has ~6
     # compile buckets per run; cache them across process restarts

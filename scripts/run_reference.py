@@ -36,9 +36,32 @@ def _patch_numpy():
         np.fromstring = fromstring
 
 
+def _patch_seed():
+    """AB_SEED env var overrides the reference's hardcoded RNG seed
+    (train.py:648-649 calls manual_seed(20211202)) for the multi-seed
+    variance study — in-process shim, reference source untouched."""
+    seed = os.environ.get("AB_SEED")
+    if not seed:
+        return
+    import numpy as np
+    import torch
+
+    orig_torch, orig_np = torch.manual_seed, np.random.seed
+
+    def manual_seed(s):
+        return orig_torch(int(seed) if s == 20211202 else s)
+
+    def np_seed(s=None):
+        return orig_np(int(seed) if s == 20211202 else s)
+
+    torch.manual_seed = manual_seed
+    np.random.seed = np_seed
+
+
 def main():
     _patch_matplotlib()
     _patch_numpy()
+    _patch_seed()
     os.chdir(REF_DIR)
     sys.path.insert(0, REF_DIR)
     sys.argv = ["train.py"] + sys.argv[1:]

@@ -64,13 +64,64 @@ def test_segsum_take_rows_grad_parity(rng):
     assert float(jnp.max(jnp.abs(g1 - g0))) / scale < 5e-3
 
 
+def test_onehot_take_rows_grad_parity(rng):
+    """Pure-XLA one-hot matmul backward vs XLA scatter backward, incl. the
+    bf16-table case (grad must come back in the table dtype)."""
+    from localrf_tpu.ops.pallas.segsum import take_rows_onehot
+
+    t, c, p = 640, 48, 5000
+    tab = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, t, p).astype(np.int32))
+    co = jnp.asarray(rng.normal(size=(p, c)).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(take_rows_onehot(x, idx) * co))(tab)
+    g0 = jax.grad(lambda x: jnp.sum(jnp.take(x, idx, axis=0) * co))(tab)
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-6
+    assert float(jnp.max(jnp.abs(g1 - g0))) / scale < 5e-3
+
+    tab_bf = tab.astype(jnp.bfloat16)
+    g_bf = jax.grad(
+        lambda x: jnp.sum(take_rows_onehot(x, idx).astype(jnp.float32) * co)
+    )(tab_bf)
+    assert g_bf.dtype == jnp.bfloat16
+    g_ref = jax.grad(
+        lambda x: jnp.sum(jnp.take(x, idx, axis=0).astype(jnp.float32) * co)
+    )(tab_bf)
+    scale = float(jnp.max(jnp.abs(g_ref).astype(jnp.float32))) + 1e-6
+    diff = float(jnp.max(jnp.abs((g_bf - g_ref).astype(jnp.float32))))
+    assert diff / scale < 2e-2  # bf16 rounding of the f32 MXU accumulation
+
+
+def test_render_with_line_bwd_onehot_close_to_reference(rng):
+    import dataclasses
+
+    from localrf_tpu.models.render import render_rays
+    from localrf_tpu.models.tensorf import TensorfConfig, init_tensorf
+
+    cfg0 = TensorfConfig(grid_size=(16, 16, 16), line_bwd="gather")
+    cfg1 = dataclasses.replace(cfg0, line_bwd="onehot")
+    params = init_tensorf(jax.random.PRNGKey(0), cfg0)
+    o = jnp.asarray(rng.uniform(-0.5, 0.5, (16, 3)).astype(np.float32))
+    d = rng.normal(size=(16, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    def loss(p, cfg):
+        rgb, _ = render_rays(p, cfg, o, d, is_train=False, white_bg=True, n_samples=48)
+        return jnp.mean(rgb**2)
+
+    g0 = jax.grad(lambda p: loss(p, cfg0))(params)
+    g1 = jax.grad(lambda p: loss(p, cfg1))(params)
+    for k in ("density_line_0", "app_line_2"):
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        assert np.max(np.abs(a - b)) / (np.abs(a).max() + 1e-8) < 5e-3
+
+
 def test_render_with_segsum_close_to_reference(rng):
     import dataclasses
 
     from localrf_tpu.models.render import render_rays
     from localrf_tpu.models.tensorf import TensorfConfig, init_tensorf
 
-    cfg0 = TensorfConfig(grid_size=(16, 16, 16))
+    cfg0 = TensorfConfig(grid_size=(16, 16, 16), line_bwd="gather")
     cfg1 = dataclasses.replace(cfg0, matmul_segsum=True)
     params = init_tensorf(jax.random.PRNGKey(0), cfg0)
     o = jnp.asarray(rng.uniform(-0.5, 0.5, (16, 3)).astype(np.float32))
