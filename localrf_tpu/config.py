@@ -190,6 +190,19 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         help="occupancy compaction floor (samples per ray)",
     )
     parser.add_argument(
+        "--occ_probe_ds", type=int, default=0,
+        help="coarse march probe: probe the ds-pooled+dilated alpha volume"
+        " once per group of ds march samples instead of per sample"
+        " (R*S/ds occupancy gathers + ds-x smaller compaction top_k);"
+        " 0 = exact per-sample cull",
+    )
+    parser.add_argument(
+        "--occ_refine", type=int, default=1,
+        help="with --occ_probe_ds: still apply the exact fine-volume cull at"
+        " the selected samples (identical density-carrying sample set to the"
+        " exact path whenever no occupied group is truncated)",
+    )
+    parser.add_argument(
         "--pixel_pool", type=int, default=0,
         help="keep the active window's pixel data device-resident and gather"
         " training batches on device (host ships only sample indices)",

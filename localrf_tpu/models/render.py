@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.math import alpha2weights, contract
-from ..ops.occupancy import compact_valid_samples, occupancy_valid, pack_alpha_corners
+from ..ops.occupancy import (
+    coarsen_alpha,
+    compact_valid_samples,
+    occupancy_valid,
+    pack_alpha_corners,
+)
 from ..ops.rays import sample_ray_contracted
 from .tensorf import (
     TensorfConfig,
@@ -77,7 +82,60 @@ def render_rays(
         and 0 < cfg.occ_m < s
         and floater_thresh == 0.0
     )
-    if compact:
+    probe = cfg.occ_probe_ds if compact and 1 < cfg.occ_probe_ds < s else 0
+    if probe:
+        # coarse march probe: one trilinear lookup against the ds-pooled +
+        # dilated alpha volume per group of `probe` consecutive samples
+        # (conservative — see ops/occupancy.coarsen_alpha), compaction at
+        # group granularity (probe^2-x smaller top_k than the exact path:
+        # 1/ds the keys, 1/ds the k), then the exact fine cull only at the
+        # occ_m *selected* samples instead of all S. Cuts the per-sample
+        # occupancy gathers from R*S to R*S/ds + R*M.
+        coarse = coarsen_alpha(alpha_volume, probe)
+        packed_c = pack_alpha_corners(coarse)
+        z_probe = z_vals[:, probe // 2 :: probe]  # [1, Sc] group midpoints
+        sc = z_probe.shape[1]
+        pts_probe = contract(
+            rays_o[:, None, :] + viewdirs[:, None, :] * z_probe[..., None]
+        )
+        valid_c = occupancy_valid(
+            packed_c,
+            coarse.shape,
+            jax.lax.stop_gradient(normalize_coord(pts_probe, cfg)).reshape(-1, 3),
+        ).reshape(r, sc)
+        # exclude the terminator group from natural selection so the forced
+        # last slot (sel_c[:, -1] = Sc-1) can never duplicate a selected one
+        valid_c = valid_c.at[:, -1].set(False)
+        mc = max(1, cfg.occ_m // probe)
+        sel_c, selv_c = compact_valid_samples(valid_c, mc)
+        sel = jnp.minimum(
+            sel_c[:, :, None] * probe + jnp.arange(probe, dtype=jnp.int32),
+            s - 1,
+        ).reshape(r, mc * probe)
+        sel = sel.at[:, -1].set(s - 1)  # dense terminator sample
+        sel_valid = jnp.broadcast_to(
+            selv_c[:, :, None], (r, mc, probe)
+        ).reshape(r, mc * probe)
+        z_vals = z_vals[0].at[sel].get(mode="promise_in_bounds")  # [R, M]
+        dists = dists[0].at[sel].get(mode="promise_in_bounds")
+        pts_sel = contract(
+            rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
+        )
+        pts_norm = normalize_coord(pts_sel, cfg)
+        if cfg.occ_refine:
+            # exact fine cull at the selected samples only — same criterion
+            # as the exact compact path, so the density-carrying sample set
+            # is identical whenever no occupied group was truncated
+            packed = pack_alpha_corners(alpha_volume)
+            fine_v = occupancy_valid(
+                packed,
+                alpha_volume.shape,
+                jax.lax.stop_gradient(pts_norm).reshape(-1, 3),
+            ).reshape(r, mc * probe)
+            sel_valid = sel_valid & fine_v
+        sel_valid = sel_valid.at[:, -1].set(False)
+        s = mc * probe
+    elif compact:
         # occupancy compaction: one packed-byte gather per sample for the
         # occ>0 cull, then density only at the first occ_m occupied samples
         # per ray — static-shape analog of the reference's ragged cull

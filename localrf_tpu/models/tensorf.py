@@ -90,6 +90,14 @@ class TensorfConfig:
     # ray (static shape). 0 = dense masked compute. Exact vs the reference
     # whenever < occ_m samples of a ray are occupied.
     occ_m: int = 0
+    # coarse march probe (render.py): 0 = exact per-sample cull; ds > 1 =
+    # probe the ds-pooled+dilated alpha volume once per group of ds samples
+    # (R*S/ds occupancy gathers instead of R*S, ds-x smaller compaction
+    # top_k), then — if occ_refine — the exact fine cull at the occ_m
+    # selected samples only. Conservative: may keep coarse-occupied but
+    # fine-empty samples (they cost compaction slots, not correctness).
+    occ_probe_ds: int = 0
+    occ_refine: bool = True
     step_ratio: float = 0.5
     fea2dense_act: str = "softplus"
     shading_mode: str = "MLP_Fea_late_view"

@@ -78,6 +78,39 @@ def occupancy_valid(
     return valid
 
 
+def coarsen_alpha(vol: jax.Array, ds: int) -> jax.Array:
+    """Downsample a binary occupancy volume by `ds` per axis (maxpool) and
+    dilate the result by one coarse voxel (3^3 maxpool).
+
+    Used by the coarse march probe (render.py, cfg.occ_probe_ds): one
+    trilinear-support lookup against the dilated coarse volume per group of
+    `ds` consecutive march samples conservatively covers the fine-volume
+    occupancy of every sample in the group — the march step is ~1 fine voxel
+    by construction (sampling count scales with grid resolution), so a group
+    spans <= ds fine voxels = 1 coarse voxel, while the dilation + trilinear
+    support reach 2 coarse voxels around the probe point. Conservative-only
+    errors (false positives) cost compaction slots, never correctness: the
+    exact fine cull (cfg.occ_refine) still zeroes empty samples.
+    """
+    pooled = jax.lax.reduce_window(
+        vol,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(ds, ds, ds),
+        window_strides=(ds, ds, ds),
+        padding=[(0, (-d) % ds) for d in vol.shape],
+    )
+    dilated = jax.lax.reduce_window(
+        pooled,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+    )
+    return dilated
+
+
 def compact_valid_samples(valid: jax.Array, m: int):
     """Select the first m valid sample indices per ray, in ascending order;
     the final slot is reserved for the dense terminator sample S-1.

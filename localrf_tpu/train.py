@@ -214,6 +214,8 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         line_bwd=getattr(args, "line_bwd", "gather"),
         gather_dtype=getattr(args, "gather_dtype", "bfloat16"),
         mlp_dtype=getattr(args, "mlp_dtype", "bfloat16"),
+        occ_probe_ds=getattr(args, "occ_probe_ds", 0),
+        occ_refine=bool(getattr(args, "occ_refine", 1)),
         aabb_lo=tuple(float(v) for v in aabb[0]),
         aabb_hi=tuple(float(v) for v in aabb[1]),
     )

@@ -205,3 +205,109 @@ def test_sample_parallel_march_with_occupancy():
     )
     np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), rtol=1e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-5, atol=2e-5)
+
+
+def test_coarsen_alpha_conservative_at_march_scale():
+    """ops/occupancy.coarsen_alpha margin claim, checked directly: for any
+    point where the FINE trilinear occupancy is positive, the coarse probe at
+    any point within half a probe-group's march distance (ds/2 fine voxels)
+    must also be positive. This is the invariant the coarse march probe
+    (cfg.occ_probe_ds) relies on to never cull an occupied sample."""
+    from localrf_tpu.ops.occupancy import (
+        coarsen_alpha,
+        occupancy_valid,
+        pack_alpha_corners,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 32
+    ds = 4
+    vol = (rng.uniform(size=(d, d, d)) > 0.97).astype(np.float32)
+    coarse = coarsen_alpha(jnp.asarray(vol), ds)
+    assert coarse.shape == (d // ds,) * 3
+    packed_f = pack_alpha_corners(jnp.asarray(vol))
+    packed_c = pack_alpha_corners(coarse)
+
+    pts = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+    fine_ok = np.asarray(occupancy_valid(packed_f, vol.shape, jnp.asarray(pts)))
+    # probe displaced by up to ds/2 fine voxels per axis (march-step units:
+    # the march step is ~1 fine voxel by construction)
+    off = rng.uniform(-1, 1, (4000, 3)).astype(np.float32) * (ds / 2) * (2.0 / (d - 1))
+    probe_pts = np.clip(pts + off, -1, 1)
+    coarse_ok = np.asarray(
+        occupancy_valid(packed_c, coarse.shape, jnp.asarray(probe_pts))
+    )
+    missed = fine_ok & ~coarse_ok
+    assert not missed.any(), f"{missed.sum()} fine-occupied points missed by coarse probe"
+
+
+def test_coarse_probe_matches_exact_compaction():
+    """With occ_probe_ds set and no occupied group truncated, the coarse-probe
+    march must reproduce the exact per-sample compaction bit-for-bit: the
+    density-carrying sample set is identical (refine applies the same fine
+    cull), the z values are gathers of the same indices, and compositing
+    order is preserved. The test asserts its own preconditions (probe
+    coverage superset of fine validity, no truncation) so a miss fails
+    loudly rather than silently weakening the equality check."""
+    from localrf_tpu.models.render import render_rays
+    from localrf_tpu.ops.math import contract
+    from localrf_tpu.ops.occupancy import occupancy_valid, pack_alpha_corners
+    from localrf_tpu.ops.rays import sample_ray_contracted
+    from localrf_tpu.models.tensorf import normalize_coord
+
+    # alpha volume: fat blob around the origin region the near samples cross
+    dz, dy, dx = 24, 24, 24
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, dz), np.linspace(-1, 1, dy), np.linspace(-1, 1, dx),
+        indexing="ij",
+    )
+    vol = ((np.abs(zz) < 0.4) & (np.abs(yy) < 0.4) & (np.abs(xx) < 0.4)).astype(
+        np.float32
+    )
+    params = init_tensorf(jax.random.PRNGKey(2), CFG)
+    o, d = _rays(19)
+    n_total, s, m, ds = 96, 32, 28, 2
+
+    exact_cfg = dataclasses.replace(CFG, occ_m=m)
+    probe_cfg = dataclasses.replace(CFG, occ_m=m, occ_probe_ds=ds)
+
+    # precondition check on the actual march geometry
+    viewdirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pts, _, _ = sample_ray_contracted(o, viewdirs, n_total, False, None)
+    pn = normalize_coord(pts, CFG).reshape(-1, 3)
+    fine_v = np.array(
+        occupancy_valid(pack_alpha_corners(jnp.asarray(vol)), vol.shape, pn)
+    ).reshape(-1, s)
+    fine_v[:, -1] = False
+    n_valid = fine_v.sum(1)
+    grp_any = fine_v.reshape(-1, s // ds, ds).any(2)
+    grp_any[:, -1] = False
+    assert (n_valid < m).all(), "precondition: exact path must not truncate"
+    assert (grp_any.sum(1) < m // ds).all(), "precondition: probe must not truncate"
+
+    kw = dict(is_train=False, white_bg=True, n_samples=n_total,
+              alpha_volume=jnp.asarray(vol))
+    rgb0, dep0 = render_rays(params, exact_cfg, o, d, **kw)
+    rgb1, dep1 = render_rays(params, probe_cfg, o, d, **kw)
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-5, atol=1e-6)
+
+
+def test_coarse_probe_grads_flow():
+    from localrf_tpu.models.tensorf import update_alpha_volume
+
+    cfg = dataclasses.replace(CFG, density_shift=-2.0, occ_m=24, occ_probe_ds=2)
+    params = init_tensorf(jax.random.PRNGKey(2), cfg)
+    vol = update_alpha_volume(params, cfg, (10, 11, 9))
+    o, d = _rays(9)
+
+    def loss(p):
+        rgb, dep = render_rays(
+            p, cfg, o, d, is_train=True, white_bg=False,
+            n_samples=48, alpha_volume=vol, key=jax.random.PRNGKey(5),
+        )
+        return jnp.mean(rgb**2) + 1e-3 * jnp.mean(dep**2)
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
