@@ -1,10 +1,36 @@
 """Test configuration: force CPU backend with 8 virtual devices so that
 multi-chip sharding tests run without TPU hardware."""
+import hashlib
 import os
+import platform
+
+
+def _cache_dir() -> str:
+    """Persistent-compile-cache dir fingerprinted by host CPU + jaxlib.
+
+    The VM fleet is heterogeneous: XLA:CPU caches AOT-compiled executables
+    keyed only by HLO hash, and loading an entry compiled with machine
+    features the current host lacks is undefined (the loader warns "could
+    lead to execution errors such as SIGILL" — and a cross-host entry was
+    observed to segfault inside backend_compile_and_load). Keying the dir
+    by the host's cpuinfo flags keeps the severalfold warm-suite speedup
+    on a stable host while making cross-host reuse impossible."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+    except Exception:
+        flags = platform.machine()
+    import jaxlib
+
+    sig = hashlib.sha1((flags + jaxlib.__version__).encode()).hexdigest()[:10]
+    return f"/tmp/localrf_tpu_jax_cache_{sig}"
+
+
+_CACHE = _cache_dir()
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets a TPU platform
 # inherited by subprocess-based tests (e2e driver, dryrun bootstrap)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/localrf_tpu_jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,7 +46,7 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the suite is dominated by XLA compiles of
 # the train-step buckets under 8 virtual devices; caching them across runs
 # cuts repeat suite time severalfold. Keyed by HLO hash — safe across edits.
-jax.config.update("jax_compilation_cache_dir", "/tmp/localrf_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -49,7 +75,7 @@ def _evict_corrupt_cache_entries(cache_dir: str) -> None:
                 pass
 
 
-_evict_corrupt_cache_entries("/tmp/localrf_tpu_jax_cache")
+_evict_corrupt_cache_entries(_CACHE)
 
 import numpy as np
 import pytest
