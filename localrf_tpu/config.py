@@ -143,6 +143,21 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " tables, PERF.md); 0 = XLA emitter everywhere",
     )
     parser.add_argument(
+        "--matmul_precision", type=str, default="default",
+        choices=["default", "high", "highest"],
+        help="jax_default_matmul_precision: TPU f32 dots run as single-pass"
+        " bf16 by default; 'highest' = 3-pass bf16 (~f32) on every dot,"
+        " including the one-hot-matmul scatter backwards — the full-"
+        "precision parity switch (PARITY_RUN.md)",
+    )
+    parser.add_argument(
+        "--fused_plane_gather", type=int, default=1,
+        help="gather the 3 plane tables' rows in ONE dispatch over a"
+        " row-concatenated table (one backward scatter): gathers amortize"
+        " per-dispatch overhead with index count (PERF.md roofline);"
+        " 0 = per-orientation gathers",
+    )
+    parser.add_argument(
         "--data_parallel", type=int, default=0,
         help="shard the ray batch over this many devices (0 = all available)",
     )

@@ -26,6 +26,8 @@ from ..ops.grid import (
     grid_sample_1d,
     grid_sample_2d,
     grid_sample_3d,
+    plane_texel,
+    quad_lerp_2d,
     quad_sample_1d,
     quad_sample_2d,
     resize_align_corners_1d,
@@ -85,6 +87,13 @@ class TensorfConfig:
     # PERF.md r3) — the default
     binned_scatter: bool = True
     binned_min_rows: int = 65536
+    # gather the 3 plane tables' rows in ONE dispatch over a row-concatenated
+    # table (and ONE backward scatter): XLA's gather amortizes per-dispatch
+    # overhead with index count (measured 4.1 -> 2.6 ns/idx from 1.36M ->
+    # 5.4M on v5e, PERF.md roofline), and the binned backward kernel runs
+    # one sort + one tile schedule instead of three. Numerically identical
+    # to per-orientation gathers (row offsets are static).
+    fused_plane_gather: bool = True
     # occupancy compaction (see ops/occupancy.py): with an alpha volume
     # present, compute density only at the first occ_m occupied samples per
     # ray (static shape). 0 = dense masked compute. Exact vs the reference
@@ -271,19 +280,51 @@ def compute_density_app_features(
     sigma = 0.0
     prods = []
     g = cfg.grid_size
+    tables = [quad[f"comb_plane_{i}"] for i in range(3)]
+    cds = [params[f"density_plane_{i}"].shape[0] for i in range(3)]
+    cas = [params[f"app_plane_{i}"].shape[0] for i in range(3)]
+    # fused multi-orientation gather: all 3 tables share one row width when
+    # the per-orientation channel counts match (the reference's defaults)
+    fused = cfg.fused_plane_gather and len({t.shape[1] for t in tables}) == 1
+    plane_rows = [None, None, None]
+    if fused:
+        idxs, wxs, wys = [], [], []
+        off = 0
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            idx, wx, wy = plane_texel(g[m1], g[m0], pts[:, (m0, m1)])
+            idxs.append(idx + off)
+            wxs.append(wx)
+            wys.append(wy)
+            off += tables[i].shape[0]
+        big = jnp.concatenate(tables, axis=0)
+        idx_all = jnp.concatenate(idxs)
+        if cfg.binned_scatter and big.shape[0] >= cfg.binned_min_rows:
+            from ..ops.pallas.binned_scatter import take_rows_binned
+
+            rows_all = take_rows_binned(big, idx_all)
+        else:
+            rows_all = big.at[idx_all].get(mode="promise_in_bounds")
+        p = pts.shape[0]
+        plane_rows = [
+            quad_lerp_2d(rows_all[i * p : (i + 1) * p], wxs[i], wys[i], cds[i] + cas[i])
+            for i in range(3)
+        ]
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         v = VEC_MODE[i]
-        cd = params[f"density_plane_{i}"].shape[0]
-        ca = params[f"app_plane_{i}"].shape[0]
+        cd, ca = cds[i], cas[i]
         c = cd + ca
-        binned = (
-            cfg.binned_scatter
-            and quad[f"comb_plane_{i}"].shape[0] >= cfg.binned_min_rows
-        )
-        pf = quad_sample_2d(
-            quad[f"comb_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c, binned
-        )
+        if fused:
+            pf = plane_rows[i]
+        else:
+            binned = (
+                cfg.binned_scatter
+                and quad[f"comb_plane_{i}"].shape[0] >= cfg.binned_min_rows
+            )
+            pf = quad_sample_2d(
+                quad[f"comb_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c, binned
+            )
         lf = quad_sample_1d(quad[f"comb_line_{i}"], g[v], pts[:, v], c, cfg.line_mode)
         prod = pf * lf  # [P, cd+ca]
         sigma = sigma + jnp.sum(prod[:, :cd].astype(jnp.float32), axis=-1)

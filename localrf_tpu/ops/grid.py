@@ -157,33 +157,29 @@ def build_quad_line(line: jax.Array) -> jax.Array:
     return jnp.concatenate([line.T, ln.T], axis=1)
 
 
-def quad_sample_2d(
-    quad: jax.Array, h: int, w: int, coords: jax.Array, c: int,
-    binned: bool = False,
-) -> jax.Array:
-    """Bilinear sample from a quad-packed plane. coords [P, 2] as (x, y);
-    `c` is the channel count (rows may be lane-padded).
+def plane_texel(h: int, w: int, coords: jax.Array):
+    """coords [P, 2] as (x, y) -> (flat row index [P] i32, wx [P,1], wy [P,1]).
 
-    binned=True routes the backward scatter-add through the binned Pallas
-    kernel (sort + per-tile MXU one-hot matmuls, ops/pallas/binned_scatter)
-    instead of XLA's per-index scatter emitter — profitable on large tables
-    (see PERF.md)."""
+    The quad-packed row at `y0*w + x0` holds all 4 bilinear corners;
+    (wx, wy) are the sub-texel lerp weights. Split out from quad_sample_2d
+    so the fused multi-orientation gather (tensorf.compute_density_app_
+    features) can batch the indices of all 3 plane tables into ONE gather."""
     x = _unnormalize(coords[:, 0], w)
     y = _unnormalize(coords[:, 1], h)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     wx = (x - x0.astype(x.dtype))[:, None]
     wy = (y - y0.astype(y.dtype))[:, None]
-    if binned:
-        from .pallas.binned_scatter import take_rows_binned
+    return y0 * w + x0, wx, wy
 
-        rows = take_rows_binned(quad, y0 * w + x0)  # [P, >=4C]
-    else:
-        rows = quad.at[y0 * w + x0].get(mode="promise_in_bounds")  # [P, >=4C]
-    # lerp in the table dtype: with bf16 tables an f32 weight would promote
-    # every [P, 4C] row to f32 (a measured ~11 ms/step convert at 640^3);
-    # the weights are in [0,1] so bf16 weights lose <=2^-8 relative — the
-    # table entries are already bf16-rounded
+
+def quad_lerp_2d(rows: jax.Array, wx: jax.Array, wy: jax.Array, c: int) -> jax.Array:
+    """Bilinear lerp over gathered quad rows [P, >=4C] -> [P, C].
+
+    Lerps in the table dtype: with bf16 tables an f32 weight would promote
+    every [P, 4C] row to f32 (a measured ~11 ms/step convert at 640^3);
+    the weights are in [0,1] so bf16 weights lose <=2^-8 relative — the
+    table entries are already bf16-rounded."""
     wx = wx.astype(rows.dtype)
     wy = wy.astype(rows.dtype)
     v00, v01, v10, v11 = (
@@ -195,6 +191,27 @@ def quad_sample_2d(
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     return top * (1.0 - wy) + bot * wy
+
+
+def quad_sample_2d(
+    quad: jax.Array, h: int, w: int, coords: jax.Array, c: int,
+    binned: bool = False,
+) -> jax.Array:
+    """Bilinear sample from a quad-packed plane. coords [P, 2] as (x, y);
+    `c` is the channel count (rows may be lane-padded).
+
+    binned=True routes the backward scatter-add through the binned Pallas
+    kernel (sort + per-tile MXU one-hot matmuls, ops/pallas/binned_scatter)
+    instead of XLA's per-index scatter emitter — profitable on large tables
+    (see PERF.md)."""
+    idx, wx, wy = plane_texel(h, w, coords)
+    if binned:
+        from .pallas.binned_scatter import take_rows_binned
+
+        rows = take_rows_binned(quad, idx)  # [P, >=4C]
+    else:
+        rows = quad.at[idx].get(mode="promise_in_bounds")  # [P, >=4C]
+    return quad_lerp_2d(rows, wx, wy, c)
 
 
 def quad_sample_1d(

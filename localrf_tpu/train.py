@@ -211,6 +211,7 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         app_top_k=getattr(args, "app_top_k", 128),
         pallas_composite=bool(getattr(args, "use_pallas", 0)),
         binned_scatter=bool(getattr(args, "binned_scatter", 0)),
+        fused_plane_gather=bool(getattr(args, "fused_plane_gather", 1)),
         line_bwd=getattr(args, "line_bwd", "gather"),
         gather_dtype=getattr(args, "gather_dtype", "bfloat16"),
         mlp_dtype=getattr(args, "mlp_dtype", "bfloat16"),
@@ -645,6 +646,15 @@ def main():
     args = config_parser()
     print(args)
     np.random.seed(getattr(args, "seed", 20211202))
+
+    if getattr(args, "matmul_precision", "default") != "default":
+        # TPU MXU runs f32 dot_generals as single-pass bf16 by default;
+        # "highest" uses 3-pass bf16 (~f32-accurate) on every dot — incl.
+        # the one-hot-matmul scatter backwards — matching the reference's
+        # full-f32 torch accumulation at ~2x dot cost (see PARITY_RUN.md)
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     # persistent XLA compilation cache: the coarse-to-fine schedule has ~6
     # compile buckets per run; cache them across process restarts

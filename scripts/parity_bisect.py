@@ -27,6 +27,17 @@ VARIANTS = {
     "f32_both": ["--gather_dtype", "float32", "--mlp_dtype", "float32"],
     "no_occ": ["--occ_ratio", "1.0"],
     "no_topk": ["--app_top_k", "0"],
+    # f32 storage alone did NOT close the gap (see PARITY_RUN.md): even
+    # "f32" dots run as single-pass bf16 on the TPU MXU by default, which
+    # quantizes the one-hot-matmul scatter gradients (line_bwd=onehot,
+    # binned_scatter) and the MLP dots. These two separate the matmul-
+    # precision axis from the storage-dtype axis:
+    "prec_only": ["--matmul_precision", "highest"],
+    "f32_strict": [
+        "--gather_dtype", "float32", "--mlp_dtype", "float32",
+        "--matmul_precision", "highest",
+        "--line_bwd", "gather", "--binned_scatter", "0", "--use_pallas", "0",
+    ],
 }
 
 

@@ -29,6 +29,12 @@ def _cache_dir() -> str:
 _CACHE = _cache_dir()
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env presets a TPU platform
+# subprocess tests (e2e driver, dryrun bootstrap) must not register the
+# TPU-tunnel PJRT plugin at all: JAX_PLATFORMS=cpu alone does not stop the
+# sitecustomize registration, and a wedged tunnel then hangs the child at
+# backend init (observed mid-round). Popping the trigger var makes children
+# pure-CPU; this process already registered, but conftest pins it to cpu.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 # inherited by subprocess-based tests (e2e driver, dryrun bootstrap)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 flags = os.environ.get("XLA_FLAGS", "")
