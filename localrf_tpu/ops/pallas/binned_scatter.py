@@ -26,14 +26,21 @@ the MXU bf16 path), then cast to the requested output dtype once.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 256
-CHUNK = 1024
+# Grid-step count is (P/chunk + T/tile_rows) and each step carries a fixed
+# ~4.7 us Mosaic overhead while the per-step MXU matmul is ~0.2 us — the
+# kernel is step-count-bound, so bigger tiles/chunks win until the one-hot
+# ([tile_rows, chunk] bf16) plus double-buffered payload blocks press VMEM
+# (~16 MB/core). Env-overridable for the hardware sweep
+# (scripts/ab_binned_shape.py); defaults are the measured r3 operating point.
+TILE_ROWS = int(os.environ.get("LOCALRF_BINNED_TILE_ROWS", "256"))
+CHUNK = int(os.environ.get("LOCALRF_BINNED_CHUNK", "1024"))
 
 
 def _interpret() -> bool:

@@ -48,6 +48,24 @@ def test_binned_segment_sum_matches_oracle(rng, n_rows, p, dist):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "tile_rows,chunk",
+    [(64, 512), (512, 256), (128, 128)],
+    ids=["wide-chunk", "tile-gt-chunk", "square"],
+)
+def test_binned_segment_sum_shape_sweep(rng, tile_rows, chunk):
+    """The (tile_rows, chunk) shape is a hardware tuning knob
+    (scripts/ab_binned_shape.py): the schedule must stay exact for any
+    ratio, including chunks spanning many tiles and tiles spanning many
+    chunks."""
+    n_rows, p = 1000, 4096
+    idx = jnp.asarray(rng.integers(0, n_rows, size=p), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((p, 128), dtype=np.float32))
+    out = binned_segment_sum(idx, g, n_rows, tile_rows=tile_rows, chunk=chunk)
+    ref = _oracle(idx, g, n_rows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_binned_segment_sum_bf16_payload(rng):
     n_rows, p = 384, 2048
     idx = jnp.asarray(rng.integers(0, n_rows, size=p), jnp.int32)
