@@ -135,6 +135,21 @@ def bench_stage(grid: int, n_timed: int) -> float:
 
 
 def main():
+    # --stage N: bench a single voxel stage (by index into STAGE_GRIDS, or a
+    # grid size) and skip the weighted aggregate — the quick liveness check
+    import sys
+
+    if "--stage" in sys.argv:
+        sel = int(sys.argv[sys.argv.index("--stage") + 1])
+        grid = STAGE_GRIDS[sel] if sel < len(STAGE_GRIDS) else sel
+        ips = bench_stage(grid, 30 if grid <= 200 else 10)
+        print(json.dumps({
+            "metric": f"train_rays_per_sec_stage_{grid}",
+            "value": round(float(ips * BATCH), 1),
+            "unit": "rays/s",
+        }))
+        return
+
     per_stage = {}
     for grid in STAGE_GRIDS:
         n_timed = 30 if grid <= 200 else 10

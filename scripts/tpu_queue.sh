@@ -16,8 +16,9 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 # 0. cheap liveness probe (fail fast if the tunnel is still wedged)
-run probe 120 python -c "import jax; print(jax.devices())" || true
-grep -q "TpuDevice\|axon" "$LOG" || { echo "tunnel down, aborting" | tee -a "$LOG"; exit 1; }
+PROBE=$(timeout 120 python -c "import jax; d=jax.devices(); assert d; print('probe ok:', d)" 2>&1)
+echo "$PROBE" | tee -a "$LOG"
+echo "$PROBE" | grep -q "probe ok" || { echo "tunnel down, aborting" | tee -a "$LOG"; exit 1; }
 
 # 1. fused plane gather in-step A/B (PERF.md row; fused is the new default)
 run ab_fused 2400 python scripts/ab_fused.py 255 404 640
