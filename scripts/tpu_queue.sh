@@ -26,8 +26,8 @@ run ab_fused 2400 python scripts/ab_fused.py 255 404 640
 # 2. coarse march probe in-step A/B (decides occ_probe_ds default)
 run ab_probe 3600 python scripts/ab_probe.py 404 640
 
-# 3. finish the precision bisect (no_topk, prec_only, f32_strict)
-run bisect 7200 python scripts/parity_bisect.py /tmp/parity_ms 20211202
+# 3. binned-kernel (tile_rows, chunk) shape sweep (step-count-bound kernel)
+run binned_shape 3600 python scripts/ab_binned_shape.py 404 640
 
 # 4. fresh full bench (BENCH_r03 preview)
 run bench 1200 python bench.py
@@ -35,7 +35,8 @@ run bench 1200 python bench.py
 # 5. fresh per-op trace at 640^3 (post-fused-gather breakdown for PERF.md)
 run trace 1200 env PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python scripts/profile_trace.py 640 5
 
-# 6. binned-kernel (tile_rows, chunk) shape sweep (step-count-bound kernel)
-run binned_shape 3600 python scripts/ab_binned_shape.py 404 640
+# 6. finish the precision bisect (no_topk, prec_only, f32_strict) — longest
+# item (two full parity-scene trainings), so it runs after the perf sweeps
+run bisect 10800 python scripts/parity_bisect.py /tmp/parity_ms 20211202
 
 echo "== tpu_queue done $(date -u +%FT%TZ) ==" | tee -a "$LOG"
