@@ -55,6 +55,25 @@ def make_sp_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), (SAMPLE_AXIS,))
 
 
+def make_dp_sp_mesh(n_data: int, n_sample: int) -> Mesh:
+    """2D ("data", "sample") mesh: ray-batch DP x sample-axis march split.
+
+    The data axis is outermost so ray shards ride the slower mesh dimension
+    and the per-ray sample collectives (all_gather/psum in render_rays_sp)
+    stay within an innermost — on real slices, ICI-contiguous — group."""
+    import numpy as np
+
+    from .sharding import DATA_AXIS
+
+    devices = jax.devices()[: n_data * n_sample]
+    assert len(devices) == n_data * n_sample, (
+        f"need {n_data * n_sample} devices, have {len(jax.devices())}"
+    )
+    return Mesh(
+        np.array(devices).reshape(n_data, n_sample), (DATA_AXIS, SAMPLE_AXIS)
+    )
+
+
 def _z_vals_dense(n_samples_total: int):
     """Deterministic (eval) contracted-sampling z/dists, [1, S] each —
     taken straight from ops/rays.sample_ray_contracted (dummy ray) so the
@@ -81,8 +100,15 @@ def render_rays_sp(
     "sample". Numerically equivalent to models.render.render_rays
     (is_train=False, no compaction) up to float re-association.
 
-    rays_o/rays_d: [R, 3] replicated. Returns (rgb [R, 3], depth [R]).
+    rays_o/rays_d: [R, 3]. On a 1D ("sample",) mesh they are replicated; on
+    a 2D ("data", "sample") mesh (make_dp_sp_mesh) they are sharded over the
+    data axis (R must divide by mesh.shape["data"]) and the march is split
+    over the sample axis within each ray shard — ray-batch DP composed with
+    sample parallelism. Returns (rgb [R, 3], depth [R]).
     """
+    from .sharding import DATA_AXIS
+
+    dp = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
     n_dev = mesh.shape[SAMPLE_AXIS]
     viewdirs_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     viewdirs = rays_d / viewdirs_norm
@@ -165,15 +191,16 @@ def render_rays_sp(
         if "check_vma" in inspect.signature(shard_map).parameters
         else "check_rep"
     )
+    spec_rays = P(dp) if dp else spec_rep  # ray-major arrays: DP-sharded
     fn = shard_map(
         functools.partial(segment),
         mesh=mesh,
         in_specs=(
             P(None, SAMPLE_AXIS),  # z
             P(None, SAMPLE_AXIS),  # dists
-            spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
+            spec_rays, spec_rays, spec_rep, spec_rep, spec_rep,
         ),
-        out_specs=spec_rep,
+        out_specs=spec_rays,
         **{check_kw: False},
     )
     out = fn(z_vals, dists, rays_o, viewdirs, params, quad, alpha_volume)

@@ -207,6 +207,30 @@ def test_sample_parallel_march_with_occupancy():
     np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-5, atol=2e-5)
 
 
+def test_dp_sp_2d_mesh_matches_sequential():
+    """Ray-batch DP composed with sample parallelism on a 2D ("data",
+    "sample") mesh (parallel/sp.make_dp_sp_mesh): rays sharded 2-way, march
+    split 4-way within each shard — must reproduce the sequential render.
+    SURVEY §2's parallelism plan names this composition explicitly."""
+    from localrf_tpu.parallel.sp import make_dp_sp_mesh, render_rays_sp
+
+    params = init_tensorf(jax.random.PRNGKey(2), CFG)
+    o, d = _rays(16)  # divisible by the 2-way data axis
+    cfg = dataclasses.replace(CFG, fast_gather=True, app_top_k=0)
+    rng = np.random.default_rng(1)
+    vol = jnp.asarray((rng.uniform(size=(8, 8, 8)) > 0.3).astype(np.float32))
+    rgb0, dep0 = render_rays(
+        params, cfg, o, d, is_train=False, white_bg=True, alpha_volume=vol
+    )
+    mesh = make_dp_sp_mesh(2, 4)
+    assert mesh.shape == {"data": 2, "sample": 4}
+    rgb1, dep1 = render_rays_sp(
+        params, cfg, o, d, mesh, white_bg=True, alpha_volume=vol
+    )
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-5, atol=2e-5)
+
+
 def test_coarsen_alpha_conservative_at_march_scale():
     """ops/occupancy.coarsen_alpha margin claim, checked directly: for any
     point where the FINE trilinear occupancy is positive, the coarse probe at
