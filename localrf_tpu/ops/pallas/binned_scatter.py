@@ -100,6 +100,12 @@ def binned_segment_sum(
     preferred. Returns [n_rows, C] in `out_dtype` (accumulated in f32).
     """
     p, c = g.shape
+    assert chunk % 128 == 0 and chunk > 0, (
+        f"chunk must be a positive multiple of 128 (lane width), got {chunk}"
+    )
+    assert tile_rows % 8 == 0 and tile_rows > 0, (
+        f"tile_rows must be a positive multiple of 8 (sublanes), got {tile_rows}"
+    )
 
     # 1. sort indices, carrying the original position
     pos = jax.lax.iota(jnp.int32, p)
