@@ -158,6 +158,13 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " 0 = per-orientation gathers",
     )
     parser.add_argument(
+        "--fused_line_gather", type=int, default=0,
+        help="gather the 3 line tables' rows in ONE dispatch over a"
+        " row-concatenated stack, backward = 3 per-orientation one-hot"
+        " matmuls; requires --line_bwd onehot. Opt-in until measured"
+        " in-step (scripts/ab_line_fused.py)",
+    )
+    parser.add_argument(
         "--data_parallel", type=int, default=0,
         help="shard the ray batch over this many devices (0 = all available)",
     )

@@ -26,7 +26,9 @@ from ..ops.grid import (
     grid_sample_1d,
     grid_sample_2d,
     grid_sample_3d,
+    line_texel,
     plane_texel,
+    quad_lerp_1d,
     quad_lerp_2d,
     quad_sample_1d,
     quad_sample_2d,
@@ -94,6 +96,14 @@ class TensorfConfig:
     # one sort + one tile schedule instead of three. Numerically identical
     # to per-orientation gathers (row offsets are static).
     fused_plane_gather: bool = True
+    # gather the 3 LINE tables' rows in ONE dispatch over a row-concatenated
+    # stack (same amortization argument as fused_plane_gather), with the
+    # backward kept as 3 per-orientation one-hot matmuls — a single fused
+    # one-hot over the concatenated stream would cost 9x the flops (both the
+    # row and point dimensions triple). Requires line_mode == "onehot";
+    # falls back silently otherwise. Opt-in until measured in-step on TPU
+    # (scripts/ab_line_fused.py).
+    fused_line_gather: bool = False
     # occupancy compaction (see ops/occupancy.py): with an alpha volume
     # present, compute density only at the first occ_m occupied samples per
     # ray (static shape). 0 = dense masked compute. Exact vs the reference
@@ -310,6 +320,33 @@ def compute_density_app_features(
             quad_lerp_2d(rows_all[i * p : (i + 1) * p], wxs[i], wys[i], cds[i] + cas[i])
             for i in range(3)
         ]
+    # fused multi-orientation LINE gather: one dispatch over the 3 stacked
+    # quad-line tables, backward = 3 per-orientation one-hot matmuls
+    # (take_rows_onehot_multi). Same-width rows required (default channels).
+    lines = [quad[f"comb_line_{i}"] for i in range(3)]
+    fused_line = (
+        cfg.fused_line_gather
+        and cfg.line_mode == "onehot"
+        and len({ln.shape[1] for ln in lines}) == 1
+    )
+    line_feats = [None, None, None]
+    if fused_line:
+        from ..ops.pallas.segsum import take_rows_onehot_multi
+
+        splits, idxs, w1s = [0], [], []
+        for i in range(3):
+            x0, w1 = line_texel(g[VEC_MODE[i]], pts[:, VEC_MODE[i]])
+            idxs.append(x0 + splits[-1])
+            w1s.append(w1)
+            splits.append(splits[-1] + lines[i].shape[0])
+        rows_ln = take_rows_onehot_multi(
+            jnp.concatenate(lines, axis=0), jnp.concatenate(idxs), tuple(splits)
+        )
+        p = pts.shape[0]
+        line_feats = [
+            quad_lerp_1d(rows_ln[i * p : (i + 1) * p], w1s[i], cds[i] + cas[i])
+            for i in range(3)
+        ]
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         v = VEC_MODE[i]
@@ -325,7 +362,12 @@ def compute_density_app_features(
             pf = quad_sample_2d(
                 quad[f"comb_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c, binned
             )
-        lf = quad_sample_1d(quad[f"comb_line_{i}"], g[v], pts[:, v], c, cfg.line_mode)
+        if fused_line:
+            lf = line_feats[i]
+        else:
+            lf = quad_sample_1d(
+                quad[f"comb_line_{i}"], g[v], pts[:, v], c, cfg.line_mode
+            )
         prod = pf * lf  # [P, cd+ca]
         sigma = sigma + jnp.sum(prod[:, :cd].astype(jnp.float32), axis=-1)
         prods.append(prod[:, cd:])

@@ -214,6 +214,24 @@ def quad_sample_2d(
     return quad_lerp_2d(rows, wx, wy, c)
 
 
+def line_texel(d: int, coords: jax.Array):
+    """coords [P] in [-1, 1] -> (row index x0 [P] i32, lerp weight w1 [P, 1]).
+
+    Split out from quad_sample_1d so the fused multi-orientation line gather
+    (tensorf.compute_density_app_features) can batch the indices of all 3
+    line tables into ONE gather with static row offsets."""
+    x = _unnormalize(coords, d)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    w1 = (x - x0.astype(x.dtype))[:, None]
+    return x0, w1
+
+
+def quad_lerp_1d(rows: jax.Array, w1: jax.Array, c: int) -> jax.Array:
+    """Linear lerp over gathered quad-line rows [P, >=2C] -> [P, C]."""
+    w1 = w1.astype(rows.dtype)  # see quad_sample_2d: lerp in table dtype
+    return rows[:, :c] * (1.0 - w1) + rows[:, c : 2 * c] * w1
+
+
 def quad_sample_1d(
     quad: jax.Array, d: int, coords: jax.Array, c: int, mode: str = "gather"
 ) -> jax.Array:
@@ -226,9 +244,7 @@ def quad_sample_1d(
       - "onehot": pure-XLA one-hot matmul segment-sum — measured 3.3x the
         emitter at 640^3 line shapes with no fusion boundary (PERF.md r3)
     """
-    x = _unnormalize(coords, d)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    w1 = (x - x0.astype(x.dtype))[:, None]
+    x0, w1 = line_texel(d, coords)
     if mode == "segsum":
         from .pallas.segsum import take_rows
 
@@ -239,8 +255,7 @@ def quad_sample_1d(
         rows = take_rows_onehot(quad, x0)
     else:
         rows = quad.at[x0].get(mode="promise_in_bounds")  # [P, >=2C]
-    w1 = w1.astype(rows.dtype)  # see quad_sample_2d: lerp in table dtype
-    return rows[:, :c] * (1.0 - w1) + rows[:, c : 2 * c] * w1
+    return quad_lerp_1d(rows, w1, c)
 
 
 def resize_align_corners_2d(plane: jax.Array, new_h: int, new_w: int) -> jax.Array:

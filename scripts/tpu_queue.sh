@@ -23,6 +23,9 @@ echo "$PROBE" | grep -q "probe ok" || { echo "tunnel down, aborting" | tee -a "$
 # 1. fused plane gather in-step A/B (PERF.md row; fused is the new default)
 run ab_fused 2400 python scripts/ab_fused.py 255 404 640
 
+# 1b. fused line gather in-step A/B (decides fused_line_gather default)
+run ab_line_fused 2400 python scripts/ab_line_fused.py 255 404 640
+
 # 2. coarse march probe in-step A/B (decides occ_probe_ds default)
 run ab_probe 3600 python scripts/ab_probe.py 404 640
 

@@ -69,6 +69,51 @@ def test_fused_matches_per_orientation(rng, binned, gather_dtype):
             np.testing.assert_array_equal(got, ref, err_msg=k)
 
 
+@pytest.mark.parametrize("gather_dtype", ["float32", "bfloat16"])
+def test_fused_line_matches_per_orientation(rng, gather_dtype):
+    """fused_line_gather batches the 3 line tables' indices into one gather
+    with static row offsets; the backward slices the cotangent into 3
+    per-orientation one-hot matmuls with exactly the unfused dot shapes —
+    values AND gradients must be bit-identical."""
+    base = TensorfConfig(
+        grid_size=GRID, gather_dtype=gather_dtype, line_bwd="onehot"
+    )
+    params = init_tensorf(jax.random.PRNGKey(2), base)
+    pts = jnp.asarray(rng.uniform(-1.1, 1.1, size=(193, 3)), jnp.float32)
+
+    def run(fused):
+        cfg = dataclasses.replace(base, fused_line_gather=fused)
+
+        def loss(p):
+            sigma, app = _features(p, cfg, pts)
+            return jnp.sum(sigma) + jnp.sum(app * app), (sigma, app)
+
+        (val, (sigma, app)), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        return sigma, app, grads
+
+    s0, a0, g0 = run(False)
+    s1, a1, g1 = run(True)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    for k in g0:
+        if k == "mlp":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(g0[k]), np.asarray(g1[k]), err_msg=k
+        )
+
+
+def test_fused_line_requires_onehot_mode(rng):
+    """line_bwd='gather' -> the fused line path must silently fall back."""
+    base = TensorfConfig(grid_size=GRID, line_bwd="gather")
+    params = init_tensorf(jax.random.PRNGKey(3), base)
+    pts = jnp.asarray(rng.uniform(-1.0, 1.0, size=(65, 3)), jnp.float32)
+    s0, a0 = _features(params, dataclasses.replace(base, fused_line_gather=False), pts)
+    s1, a1 = _features(params, dataclasses.replace(base, fused_line_gather=True), pts)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
 def test_fused_falls_back_on_mismatched_widths(rng):
     """Unequal per-orientation channel counts -> different row widths ->
     the fused path must silently fall back (still correct)."""

@@ -91,6 +91,36 @@ def test_onehot_take_rows_grad_parity(rng):
     assert diff / scale < 2e-2  # bf16 rounding of the f32 MXU accumulation
 
 
+def test_onehot_multi_take_rows_grad_parity(rng):
+    """Multi-segment one-hot gather (ONE dispatch over a stacked table,
+    per-segment matmul backward) vs XLA scatter backward, with UNEQUAL
+    per-segment row counts."""
+    from localrf_tpu.ops.pallas.segsum import take_rows_onehot_multi
+
+    sizes, c, p = (22, 14, 18), 48, 700
+    splits = (0,)
+    for s in sizes:
+        splits = splits + (splits[-1] + s,)
+    tab = jnp.asarray(rng.normal(size=(splits[-1], c)).astype(np.float32))
+    idx = jnp.concatenate(
+        [
+            jnp.asarray(rng.integers(0, sizes[s], p).astype(np.int32))
+            + splits[s]
+            for s in range(3)
+        ]
+    )
+    co = jnp.asarray(rng.normal(size=(3 * p, c)).astype(np.float32))
+    out = take_rows_onehot_multi(tab, idx, splits)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(tab, idx, axis=0))
+    )
+    g1 = jax.grad(lambda x: jnp.sum(take_rows_onehot_multi(x, idx, splits) * co))(tab)
+    g0 = jax.grad(lambda x: jnp.sum(jnp.take(x, idx, axis=0) * co))(tab)
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-6
+    assert float(jnp.max(jnp.abs(g1 - g0))) / scale < 5e-3
+    assert g1.dtype == tab.dtype
+
+
 def test_render_with_line_bwd_onehot_close_to_reference(rng):
     import dataclasses
 
