@@ -781,11 +781,54 @@ class LocalTensorfs:
         training (which rebinds f["params"]) invalidates automatically.
         """
         cached = f.get("_dev_cache")
-        if cached is not None and cached[0] is f["params"]:
+        if (
+            cached is not None
+            and cached[0] is f["params"]
+            and cached[2] is self.mesh
+        ):
             return cached[1]
-        params = jax.tree.map(jnp.asarray, f["params"])
-        f["_dev_cache"] = (f["params"], params)
+        if self.mesh is not None:
+            _, repl = self._mesh_shardings()
+            params = jax.tree.map(
+                lambda x: jax.device_put(x, repl), f["params"]
+            )
+        else:
+            params = jax.tree.map(jnp.asarray, f["params"])
+        f["_dev_cache"] = (f["params"], params, self.mesh)
         return params
+
+    def _eval_alpha(self, f: dict):
+        """Field alpha volume placed for eval (replicated over the mesh).
+
+        A jit-produced volume is committed to its device; mixing it with
+        mesh-sharded ray ids would raise an incompatible-devices error, so
+        replicate it once per (volume, mesh) and cache like _eval_params."""
+        av = f.get("alpha_volume")
+        if av is None or self.mesh is None:
+            return av
+        cached = f.get("_alpha_cache")
+        if cached is not None and cached[0] is av and cached[2] is self.mesh:
+            return cached[1]
+        _, repl = self._mesh_shardings()
+        placed = jax.device_put(av, repl)
+        f["_alpha_cache"] = (av, placed, self.mesh)
+        return placed
+
+    def _eval_ray_sharding(self, chunk: int, lead_axis: bool):
+        """Sharding for eval ray-id arrays over the data mesh, or None.
+
+        Eval is embarrassingly parallel over rays (per-ray march, replicated
+        tables), so the same mesh that shards training batches shards frame
+        renders: [n_chunks, chunk] (fast path) along the chunk axis,
+        [chunk] (generic path) along axis 0."""
+        if self.mesh is None or chunk % self.mesh.size != 0:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import DATA_AXIS
+
+        spec = P(None, DATA_AXIS) if lead_axis else P(DATA_AXIS)
+        return NamedSharding(self.mesh, spec)
 
     def clear_eval_cache(self):
         """Drop the per-field device copies made by _eval_params.
@@ -795,6 +838,7 @@ class LocalTensorfs:
         field count if left to accumulate (renderer.render clears it)."""
         for f in self.fields:
             f.pop("_dev_cache", None)
+            f.pop("_alpha_cache", None)
 
     def forward_eval(
         self,
@@ -843,6 +887,11 @@ class LocalTensorfs:
             ids_p = np.concatenate(
                 [np.asarray(ray_ids, np.int32), np.zeros(pad, np.int32)]
             ).reshape(n_chunks, chunk)
+            ids_sh = self._eval_ray_sharding(chunk, lead_axis=True)
+            ids_dev = (
+                jax.device_put(ids_p, ids_sh) if ids_sh is not None
+                else jnp.asarray(ids_p)
+            )
             for rf_id in active_rf_ids:
                 f = self.fields[rf_id]
                 params = self._eval_params(f)
@@ -851,7 +900,7 @@ class LocalTensorfs:
                 rgb, depth = render_frame(
                     params,
                     f["cfg"],
-                    jnp.asarray(ids_p),
+                    ids_dev,
                     jnp.asarray(cam2rf),
                     jnp.asarray(focal, jnp.float32),
                     jnp.asarray(center),
@@ -860,7 +909,7 @@ class LocalTensorfs:
                     floater_thresh=floater_thresh,
                     fov360=(self.cfg.fov == 360),
                     refine=jnp.asarray(1.0 if self.is_refining else 0.0),
-                    alpha_volume=f["alpha_volume"],
+                    alpha_volume=self._eval_alpha(f),
                 )
                 wgt = float(blending_weights[0, rf_id])
                 rgbs += np.asarray(rgb)[:n_rays] * wgt
@@ -883,11 +932,16 @@ class LocalTensorfs:
                         cam2rf = np.concatenate(
                             [cam2rf, np.repeat(cam2rf[-1:], pad, axis=0)]
                         )
+                    ids_sh = self._eval_ray_sharding(chunk, lead_axis=False)
                     rgb, depth, _, _ = render_chunk(
                         params,
                         f["cfg"],
-                        jnp.asarray(ids_c),
-                        jnp.asarray(cam2rf),
+                        jax.device_put(ids_c, ids_sh)
+                        if ids_sh is not None
+                        else jnp.asarray(ids_c),
+                        jax.device_put(cam2rf, ids_sh)
+                        if ids_sh is not None
+                        else jnp.asarray(cam2rf),
                         jnp.asarray(focal, jnp.float32),
                         jnp.asarray(center),
                         w=w,
@@ -895,7 +949,7 @@ class LocalTensorfs:
                         floater_thresh=floater_thresh,
                         fov360=(self.cfg.fov == 360),
                         refine=jnp.asarray(1.0 if self.is_refining else 0.0),
-                        alpha_volume=f["alpha_volume"],
+                        alpha_volume=self._eval_alpha(f),
                     )
                     rgb = np.asarray(rgb)[: sl.stop - sl.start]
                     depth = np.asarray(depth)[: sl.stop - sl.start]

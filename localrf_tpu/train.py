@@ -623,6 +623,19 @@ def render_test(args):
             "transforms": train_dataset.transforms,
         }
     model = load_checkpoint(ckpt_path, camera_prior=camera_prior)
+    # eval renders shard over the data mesh too (per-ray march, replicated
+    # tables — see LocalTensorfs._eval_ray_sharding)
+    dp = getattr(args, "data_parallel", 1)
+    import jax
+
+    n_dev = len(jax.devices())
+    if dp == 0:
+        dp = n_dev
+    if dp > 1 and n_dev >= dp:
+        from .parallel.sharding import make_mesh
+
+        model.set_mesh(make_mesh(dp))
+        print(f"render-only: eval sharded over {dp} devices")
     logfolder = os.path.dirname(ckpt_path)
     render_frames(
         args,

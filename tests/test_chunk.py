@@ -128,6 +128,38 @@ def test_run_chunk_with_mesh_matches_single_device():
     )
 
 
+def test_forward_eval_with_mesh_matches_single_device():
+    """Eval renders shard over the same data mesh as training: per-ray
+    march with replicated tables is embarrassingly parallel, so outputs
+    must match the single-device eval. Exercises both the one-view
+    render_frame fast path and the generic multi-view chunked path."""
+    import jax
+
+    from localrf_tpu.parallel.sharding import make_mesh
+
+    assert len(jax.devices()) >= 8
+    ds, cfg, m = _make()
+    batches = [ds.sample(cfg.batch_size, False, True, n_views=cfg.n_views) for _ in range(3)]
+    m.run_chunk(batches, optimize_poses=True)
+
+    all_ids = np.arange(W * H, dtype=np.int32)
+    two_view_ids = np.concatenate([all_ids, all_ids])
+
+    # single-device reference
+    rgb0, dep0, _, _ = m.forward_eval(all_ids, [0], W, H)
+    rgb0m, dep0m, _, _ = m.forward_eval(two_view_ids, [0, 1], W, H)
+
+    m.set_mesh(make_mesh(8))
+    m.clear_eval_cache()
+    rgb1, dep1, _, _ = m.forward_eval(all_ids, [0], W, H)
+    rgb1m, dep1m, _, _ = m.forward_eval(two_view_ids, [0, 1], W, H)
+
+    np.testing.assert_allclose(rgb1, rgb0, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dep1, dep0, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(rgb1m, rgb0m, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dep1m, dep0m, rtol=1e-6, atol=1e-6)
+
+
 def test_pooled_chunk_matches_host_batches():
     """Device-pool execution == host-batch execution (same RNG streams)."""
     from localrf_tpu.data.pool import DevicePixelPool
