@@ -15,6 +15,15 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "-- $name rc=$? --" | tee -a "$LOG"
 }
 
+# 0a. single-core host: timing runs are polluted by concurrent CPU-heavy
+# jobs (e.g. the CPU parity control arm). Wait for the lock to clear,
+# bounded at 2 h.
+for i in $(seq 1 60); do
+  [ -e /tmp/cpu_heavy.lock ] || break
+  echo "cpu_heavy.lock held, waiting ($i)" | tee -a "$LOG"
+  sleep 120
+done
+
 # 0. cheap liveness probe (fail fast if the tunnel is still wedged)
 PROBE=$(timeout 120 python -c "import jax; d=jax.devices(); assert d; print('probe ok:', d)" 2>&1)
 echo "$PROBE" | tee -a "$LOG"
