@@ -38,7 +38,12 @@ def main():
     if os.path.isfile(out_path):
         results = json.load(open(out_path))
 
-    os.environ["JAX_PLATFORMS"] = "cpu"  # inherited by the train subprocess
+    # Inherited by the train subprocess. JAX_PLATFORMS=cpu alone does NOT
+    # stop the environment's sitecustomize from registering the TPU-tunnel
+    # PJRT plugin, and a wedged tunnel then hangs the child at backend init
+    # (see tests/conftest.py) — popping the trigger var makes it pure-CPU.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
     name = f"cpu_default_{seed}"
     if name not in results:
