@@ -12,7 +12,7 @@ import numpy as np
 
 from .ops.math import get_fwd_bwd_cam2cams, get_pred_flow, compute_depth_loss
 from .utils.metrics import lpips_backbone, rgb_lpips, rgb_ssim
-from .utils.vis import draw_poses, visualize_depth
+from .utils.vis import draw_poses, to_uint8, visualize_depth
 
 
 def render(
@@ -155,7 +155,7 @@ def render(
 
         if annotate:
             # frame id + contributing fields overlay (ref: renderer.py:131-142)
-            img8 = (rgb_map * 255).astype(np.uint8).copy()
+            img8 = to_uint8(rgb_map).copy()
             weights = local_tensorfs.blending_weights[int(view_ids[0])]
             rf_ids = np.nonzero(weights)[0].tolist()
             wvals = [round(float(weights[r]), 1) for r in rf_ids]
@@ -212,7 +212,7 @@ def render(
             os.makedirs(f"{save_path}/depth_maps", exist_ok=True)
             cv2.imwrite(
                 f"{save_path}/rgb_maps/{fbase}.{img_format}",
-                (255 * rgb_map[..., ::-1]).astype(np.uint8),
+                to_uint8(rgb_map[..., ::-1]),
             )
             cv2.imwrite(
                 f"{save_path}/rgb_maps/{fbase}_pose.{img_format}", pose_vis[..., ::-1]
@@ -229,7 +229,7 @@ def render(
 
         os.makedirs(save_path, exist_ok=True)
         for name, frames in (
-            ("video", [(255 * f).astype(np.uint8) for f in rgb_maps_tb]),
+            ("video", [to_uint8(f) for f in rgb_maps_tb]),
             ("posevideo", poses_vis),
             ("depthvideo", depth_maps_tb),
         ):

@@ -5,6 +5,20 @@ from __future__ import annotations
 import numpy as np
 
 
+def to_uint8(x: np.ndarray) -> np.ndarray:
+    """[0,1] float image -> uint8 by ROUNDING (nearest), not truncation.
+
+    The reference truncates (`(x*255).byte()`, ref renderer.py:132), which
+    biases every saved render half a quantum low: a model whose predictions
+    are centered on the uint8-decoded training targets loses 1/255 on ~half
+    its pixels at save time — measured as a systematic ~1.5-2 dB PSNR
+    deficit at the ~50 dB parity-scene operating point that survived every
+    dtype/precision ablation (PARITY_RUN.md "CPU control arms"). Rounding
+    is the correct codec-side quantizer; it changes saved images only, not
+    training."""
+    return np.clip(np.rint(np.asarray(x) * 255), 0, 255).astype(np.uint8)
+
+
 def visualize_depth(depth: np.ndarray, minmax=None):
     """Depth -> JET colormap uint8 [H, W, 3] plus the (mi, ma) used."""
     import cv2

@@ -38,6 +38,11 @@ VARIANTS = {
         "--matmul_precision", "highest",
         "--line_bwd", "gather", "--binned_scatter", "0", "--use_pallas", "0",
     ],
+    # quality gate for flipping the coarse march probe on by default
+    # (VERDICT r2 #6 requires "measured rays/s gain at A/B parity"):
+    # same scene + seed with the probe active; compare vs ours-default and
+    # the reference band in MULTISEED.json
+    "probe_ds4": ["--occ_probe_ds", "4"],
 }
 
 

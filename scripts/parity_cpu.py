@@ -45,15 +45,30 @@ def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
-    name = f"cpu_default_{seed}"
-    if name not in results:
+    # Two arms: bit-default flags (isolates matmul precision alone — CPU
+    # default ≈ TPU default would exonerate the MXU), and f32 storage
+    # (exact matmuls AND f32 tables/MLP: if only this arm reaches the
+    # reference band, the deficit is bf16 quantization from *either*
+    # source — each alone caps at its ~0.004 quantum ≈ 49.5 dB).
+    arms = {
+        f"cpu_default_{seed}": [],
+        f"cpu_f32_{seed}": ["--gather_dtype", "float32", "--mlp_dtype", "float32"],
+        # both CPU arms above still ran the fused compositing scan with its
+        # analytic VJP (use_pallas=1, interpret mode on CPU) — its eps-guarded
+        # backward is the one default that changes *gradient math* in exact
+        # arithmetic, so ablate it
+        f"cpu_nopallas_{seed}": ["--use_pallas", "0"],
+    }
+    for name, flags in arms.items():
+        if name in results:
+            continue
         log = os.path.join(work, name)
         if not os.path.isfile(os.path.join(log, "transforms.json")):
             _orig = list(SHARED_FLAGS)
-            SHARED_FLAGS.extend(["--seed", seed])
+            SHARED_FLAGS.extend(["--seed", seed] + flags)
             try:
                 dt = run_ours(scene, log)
-                print(f"cpu run done in {dt:.0f}s", flush=True)
+                print(f"{name} run done in {dt:.0f}s", flush=True)
             finally:
                 SHARED_FLAGS[:] = _orig
         results[name] = test_view_metrics(log, scene)
