@@ -87,3 +87,22 @@ def test_vector_comp_diffs():
             eye = jnp.eye(c, d)
             params[f"{kind}_line_{i}"] = eye
     assert float(vector_comp_diffs(params)) < 1e-6
+
+
+def test_to_uint8_rounds_not_truncates():
+    """Saving renders must quantize by NEAREST rounding: the truncating
+    save biased every render half a quantum low, measured as a systematic
+    ~1.5-2 dB PSNR deficit vs the reference at the ~50 dB parity-scene
+    operating point (PARITY_RUN.md 'Root cause found')."""
+    import numpy as np
+
+    from localrf_tpu.utils.vis import to_uint8
+
+    x = np.array([0.0, 0.4 / 255, 0.6 / 255, 127.49 / 255, 127.51 / 255, 1.0])
+    np.testing.assert_array_equal(to_uint8(x), [0, 0, 1, 127, 128, 255])
+    # out-of-range inputs clip instead of wrapping
+    np.testing.assert_array_equal(to_uint8(np.array([-0.5, 1.5])), [0, 255])
+    # a prediction centered on a uint8-decoded target must round-trip exactly
+    targets = np.arange(256, dtype=np.float64) / 255
+    noise = 0.4 / 255 * np.sign(np.sin(np.arange(256)))  # +-0.4 quanta
+    assert (to_uint8(targets + noise) == np.arange(256)).all()
