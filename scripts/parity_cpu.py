@@ -58,6 +58,10 @@ def main():
         # backward is the one default that changes *gradient math* in exact
         # arithmetic, so ablate it
         f"cpu_nopallas_{seed}": ["--use_pallas", "0"],
+        # quality gate for the coarse march probe (--occ_probe_ds): the
+        # rays/s side runs on TPU (scripts/ab_probe.py); the PSNR-parity
+        # side is platform-independent and can run here
+        f"cpu_probe4_{seed}": ["--occ_probe_ds", "4"],
     }
     for name, flags in arms.items():
         if name in results:
