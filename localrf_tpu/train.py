@@ -675,8 +675,25 @@ def main():
     try:
         import jax
 
+        # dir is fingerprinted by host CPU flags + jaxlib (as in
+        # tests/conftest.py): XLA:CPU AOT entries are keyed only by HLO
+        # hash, and loading one compiled on a host with different machine
+        # features is undefined ("could lead to execution errors such as
+        # SIGILL" — warnings observed after a VM migration mid-round)
+        import hashlib
+        import platform
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(l for l in f if l.startswith("flags"))
+        except Exception:
+            flags = platform.machine()
+        import jaxlib
+
+        sig = hashlib.sha1((flags + jaxlib.__version__).encode()).hexdigest()[:10]
         cache_dir = os.environ.get(
-            "LOCALRF_JIT_CACHE", os.path.expanduser("~/.cache/localrf_tpu_jit")
+            "LOCALRF_JIT_CACHE",
+            os.path.expanduser(f"~/.cache/localrf_tpu_jit_{sig}"),
         )
         os.makedirs(cache_dir, exist_ok=True)
         # jax writes cache entries non-atomically; evict truncated entries
