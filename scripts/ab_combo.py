@@ -1,0 +1,54 @@
+"""In-step A/B of the round-3 pending defaults, in ONE process.
+
+Measures at the given stages (default: 640, the stage holding 300/600 of
+the schedule weight): the current default config, the coarse march probe
+(occ_probe_ds=4 + exact refine — the config whose quality gate already
+passed bit-exactly on the parity scene), the fused line gather, and the
+two combined. One process so the default config's executable is shared
+and the comparison is same-session/same-tunnel. Not part of the test
+suite; needs the real TPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+sys.path.insert(0, ".")
+import bench
+
+ORIG = bench.build_state
+
+VARIANTS = [
+    ("default", {}),
+    ("probe4", {"occ_probe_ds": 4, "occ_refine": True}),
+    ("fused_line", {"fused_line_gather": True}),
+    ("probe4+fused_line", {
+        "occ_probe_ds": 4, "occ_refine": True, "fused_line_gather": True,
+    }),
+]
+
+
+def patched_build(over):
+    def build(grid):
+        model, batch = ORIG(grid)
+        f = model.fields[-1]
+        f["cfg"] = dataclasses.replace(f["cfg"], **over)
+        return model, batch
+    return build
+
+
+def main():
+    grids = [int(g) for g in (sys.argv[1:] or ["640"])]
+    for grid in grids:
+        for name, over in VARIANTS:
+            bench.build_state = patched_build(over)
+            ips = bench.bench_stage(grid, 10)
+            print(
+                f"grid={grid}^3 {name}: {1000.0 / ips:7.1f} ms/it"
+                f" ({ips:.2f} it/s, {ips * bench.BATCH:,.0f} rays/s)",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
