@@ -101,8 +101,10 @@ class TensorfConfig:
     # backward kept as 3 per-orientation one-hot matmuls — a single fused
     # one-hot over the concatenated stream would cost 9x the flops (both the
     # row and point dimensions triple). Requires line_mode == "onehot";
-    # falls back silently otherwise. Opt-in until measured in-step on TPU
-    # (scripts/ab_line_fused.py).
+    # falls back silently otherwise. Measured in-step on TPU
+    # (scripts/ab_combo.py, 640^3): 264.8 vs 260.3 ms/it — a 1.7% LOSS
+    # (line tables are small; the concat/split bookkeeping costs more than
+    # the saved dispatches), so it stays opt-in.
     fused_line_gather: bool = False
     # occupancy compaction (see ops/occupancy.py): with an alpha volume
     # present, compute density only at the first occ_m occupied samples per
@@ -115,7 +117,11 @@ class TensorfConfig:
     # top_k), then — if occ_refine — the exact fine cull at the occ_m
     # selected samples only. Conservative: may keep coarse-occupied but
     # fine-empty samples (they cost compaction slots, not correctness).
-    occ_probe_ds: int = 0
+    # Default 4: wins/ties every stage in-step on TPU (scripts/ab_combo.py:
+    # 640^3 250.3 vs 260.3 ms/it, 404^3 194.5 vs 196.9, 64^3 tie) and the
+    # parity-scene quality gate reproduces the exact path's test PSNR
+    # bit-exactly (scripts/parity_cpu.py march-probe arm, CPU_ARMS.json).
+    occ_probe_ds: int = 4
     occ_refine: bool = True
     step_ratio: float = 0.5
     fea2dense_act: str = "softplus"

@@ -38,9 +38,16 @@ def patched_build(over):
 
 
 def main():
-    grids = [int(g) for g in (sys.argv[1:] or ["640"])]
+    only = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--only":  # comma-separated variant names
+        only = set(argv[1].split(","))
+        argv = argv[2:]
+    grids = [int(g) for g in (argv or ["640"])]
     for grid in grids:
         for name, over in VARIANTS:
+            if only is not None and name not in only:
+                continue
             bench.build_state = patched_build(over)
             ips = bench.bench_stage(grid, 10)
             print(
