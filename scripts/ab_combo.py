@@ -25,6 +25,11 @@ VARIANTS = [
     ("probe4+fused_line", {
         "occ_probe_ds": 4, "occ_refine": True, "fused_line_gather": True,
     }),
+    # negative arm for the (already-default) fused plane gather: the fused
+    # line gather measured a LOSS under the same amortization argument, so
+    # the plane default needs its own in-step number.
+    ("noplane", {"fused_plane_gather": False}),
+    ("exact", {"occ_probe_ds": 0}),  # exact-cull arm after the ds=4 default
 ]
 
 
