@@ -151,11 +151,12 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         "precision parity switch (PARITY_RUN.md)",
     )
     parser.add_argument(
-        "--fused_plane_gather", type=int, default=1,
+        "--fused_plane_gather", type=int, default=0,
         help="gather the 3 plane tables' rows in ONE dispatch over a"
-        " row-concatenated table (one backward scatter): gathers amortize"
-        " per-dispatch overhead with index count (PERF.md roofline);"
-        " 0 = per-orientation gathers",
+        " row-concatenated table (one backward scatter). Measured 1.39x"
+        " in-step LOSS at 404^3/640^3 (the fused backward's sort/bin prep"
+        " serializes on the critical path; three per-orientation kernels"
+        " overlap — scripts/ab_combo.py) — default 0 = per-orientation",
     )
     parser.add_argument(
         "--fused_line_gather", type=int, default=0,

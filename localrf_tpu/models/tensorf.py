@@ -90,12 +90,16 @@ class TensorfConfig:
     binned_scatter: bool = True
     binned_min_rows: int = 65536
     # gather the 3 plane tables' rows in ONE dispatch over a row-concatenated
-    # table (and ONE backward scatter): XLA's gather amortizes per-dispatch
-    # overhead with index count (measured 4.1 -> 2.6 ns/idx from 1.36M ->
-    # 5.4M on v5e, PERF.md roofline), and the binned backward kernel runs
-    # one sort + one tile schedule instead of three. Numerically identical
-    # to per-orientation gathers (row offsets are static).
-    fused_plane_gather: bool = True
+    # table (and ONE backward scatter). The isolated-roofline amortization
+    # argument (4.1 -> 2.6 ns/idx with index count) does NOT survive in-step
+    # measurement: one fused backward sorts/bins 3P indices on the critical
+    # path, where three per-orientation kernels overlap their sort/bin prep
+    # under the XLA scheduler — per-orientation is 1.39x faster at 404^3 and
+    # 640^3 (180.3 vs 250.3 ms/it; scripts/ab_combo.py noplane arm, PERF.md
+    # r3) and ties at small grids. Numerically identical either way (row
+    # offsets are static); kept as an opt-in for single-kernel-count-bound
+    # deployments.
+    fused_plane_gather: bool = False
     # gather the 3 LINE tables' rows in ONE dispatch over a row-concatenated
     # stack (same amortization argument as fused_plane_gather), with the
     # backward kept as 3 per-orientation one-hot matmuls — a single fused
