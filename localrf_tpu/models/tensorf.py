@@ -128,6 +128,10 @@ class TensorfConfig:
     occ_probe_ds: int = 4
     occ_refine: bool = True
     step_ratio: float = 0.5
+    # user cap on samples per ray (ref: models/tensorBase.py:317-327 —
+    # `nSamples = min(args.nSamples, aabbDiag/stepSize + 1)`); the computed
+    # count wins below the cap, so the default is a no-op.
+    n_samples_cap: int = int(1e6)
     fea2dense_act: str = "softplus"
     shading_mode: str = "MLP_Fea_late_view"
     pos_pe: int = 0
@@ -160,8 +164,9 @@ class TensorfConfig:
 
     @property
     def n_samples(self) -> int:
+        # ref: models/tensorBase.py:317-327 (min with the --nSamples cap)
         aabb_diag = float(np.linalg.norm(self.aabb_size))
-        return int(aabb_diag / self.step_size) + 1
+        return min(int(self.n_samples_cap), int(aabb_diag / self.step_size) + 1)
 
     def with_grid(self, grid_size) -> "TensorfConfig":
         return dataclasses.replace(self, grid_size=tuple(int(g) for g in grid_size))

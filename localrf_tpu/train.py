@@ -162,6 +162,21 @@ def _warn_tb_failure(category: str, exc: Exception) -> None:
         )
 
 
+def _warn_inert_device_flag(args) -> None:
+    """`--device` exists for reference CLI compatibility (ref: opt.py:197,
+    `--device cuda:0`); device placement here is owned by the JAX backend.
+    Warn when a user pins a non-default value expecting it to take effect."""
+    dev = getattr(args, "device", "tpu")
+    if dev not in ("tpu", ""):
+        import jax
+
+        print(
+            f"WARNING: --device={dev!r} is accepted for reference CLI"
+            f" compatibility but has no effect; JAX backend devices:"
+            f" {jax.devices()}"
+        )
+
+
 def _make_model(args, train_dataset) -> LocalTensorfs:
     upsamp_list = args.upsamp_list
     n_voxel_raw = (
@@ -216,8 +231,9 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         line_bwd=getattr(args, "line_bwd", "gather"),
         gather_dtype=getattr(args, "gather_dtype", "bfloat16"),
         mlp_dtype=getattr(args, "mlp_dtype", "bfloat16"),
-        occ_probe_ds=getattr(args, "occ_probe_ds", 0),
+        occ_probe_ds=getattr(args, "occ_probe_ds", 4),
         occ_refine=bool(getattr(args, "occ_refine", 1)),
+        n_samples_cap=int(getattr(args, "nSamples", int(1e6))),
         aabb_lo=tuple(float(v) for v in aabb[0]),
         aabb_hi=tuple(float(v) for v in aabb[1]),
     )
@@ -255,6 +271,7 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
 
 
 def reconstruction(args, train_dataset=None, test_dataset=None):
+    _warn_inert_device_flag(args)
     # speedup-factor rescaling (ref: train.py:207-220)
     args.n_iters_per_frame = int(args.n_iters_per_frame / args.refinement_speedup_factor)
     args.n_iters_reg = int(args.n_iters_reg / args.refinement_speedup_factor)

@@ -18,18 +18,18 @@ import bench
 
 ORIG = bench.build_state
 
+# Arms are expressed RELATIVE to the committed defaults (occ_probe_ds=4,
+# fused_plane_gather=False, fused_line_gather=False as of round 3): each
+# non-default arm sets its flags explicitly, so the script stays a valid
+# A/B as defaults move.
 VARIANTS = [
     ("default", {}),
-    ("probe4", {"occ_probe_ds": 4, "occ_refine": True}),
-    ("fused_line", {"fused_line_gather": True}),
-    ("probe4+fused_line", {
-        "occ_probe_ds": 4, "occ_refine": True, "fused_line_gather": True,
+    ("exact", {"occ_probe_ds": 0}),             # negative arm: exact cull
+    ("fused_plane", {"fused_plane_gather": True}),   # opt-in arm
+    ("fused_line", {"fused_line_gather": True}),     # opt-in arm
+    ("fused_both", {
+        "fused_plane_gather": True, "fused_line_gather": True,
     }),
-    # negative arm for the (already-default) fused plane gather: the fused
-    # line gather measured a LOSS under the same amortization argument, so
-    # the plane default needs its own in-step number.
-    ("noplane", {"fused_plane_gather": False}),
-    ("exact", {"occ_probe_ds": 0}),  # exact-cull arm after the ds=4 default
 ]
 
 
