@@ -186,6 +186,14 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " at 640^3 (scripts/ab_combo.py) — stays opt-in",
     )
     parser.add_argument(
+        "--fused_march", type=int, default=0,
+        help="fuse the march core (plane-row lerp + VMEM-resident line"
+        " lookup + factor product + basis matmul + shading MLP) into one"
+        " Pallas kernel with analytic VJP (ops/pallas/march.py); plane"
+        " gathers/scatters stay on the XLA/binned path. Only active for the"
+        " reference's default shape config; see PERF.md for the in-step A/B",
+    )
+    parser.add_argument(
         "--data_parallel", type=int, default=0,
         help="shard the ray batch over this many devices (0 = all available)",
     )

@@ -174,7 +174,24 @@ def render_rays(
 
     flat = pts_norm.reshape(-1, 3)
     app_feat_all = None
-    if quad is not None:
+    rgb_all = None
+    if quad is not None and cfg.fused_march:
+        from ..ops.pallas.march import fused_march_features, fused_march_supported
+
+        if fused_march_supported(cfg):
+            vd_flat = jax.lax.stop_gradient(
+                jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
+            )
+            sigma_feat, rgb_all = fused_march_features(
+                params, quad, flat, vd_flat, cfg
+            )
+            sigma_feat = sigma_feat.reshape(r, s)
+        else:
+            sigma_feat, app_feat_all = compute_density_app_features(
+                params, flat, cfg, quad
+            )
+            sigma_feat = sigma_feat.reshape(r, s)
+    elif quad is not None:
         sigma_feat, app_feat_all = compute_density_app_features(params, flat, cfg, quad)
         sigma_feat = sigma_feat.reshape(r, s)
     else:
@@ -213,7 +230,15 @@ def render_rays(
         alpha = jnp.where(sample_idx < idx_map * floater_thresh, 0.0, alpha)
         weight, _ = alpha2weights(alpha)
 
-    if app_feat_all is not None:
+    if rgb_all is not None:
+        # fused-march path: rgb already computed in-kernel at every
+        # (compacted) sample; apply the weight-threshold mask and composite —
+        # identical semantics to the shared-gather branch below
+        app_mask = weight > cfg.ray_march_weight_thres
+        rgb = rgb_all.reshape(r, s, 3)
+        rgb = jnp.where(app_mask[..., None], rgb, 0.0)
+        rgb_map = jnp.sum(weight[..., None] * rgb, axis=-2)
+    elif app_feat_all is not None:
         # shared-gather path: appearance features already computed at every
         # (compacted) sample; shade densely and zero samples below the weight
         # threshold — exactly the reference's masked ragged gather semantics

@@ -127,6 +127,12 @@ class TensorfConfig:
     # bit-exactly (scripts/parity_cpu.py march-probe arm, CPU_ARMS.json).
     occ_probe_ds: int = 4
     occ_refine: bool = True
+    # fused Pallas march core (ops/pallas/march.py): plane-row lerp + VMEM-
+    # resident line lookup + factor product + basis matmul + shading MLP in
+    # ONE kernel with analytic VJP (plane gathers/scatters stay outside —
+    # see the module docstring). Only active for the reference's default
+    # shape config (fused_march_supported); falls back silently otherwise.
+    fused_march: bool = False
     step_ratio: float = 0.5
     # user cap on samples per ray (ref: models/tensorBase.py:317-327 —
     # `nSamples = min(args.nSamples, aabbDiag/stepSize + 1)`); the computed

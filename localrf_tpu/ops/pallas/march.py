@@ -1,0 +1,445 @@
+"""Pallas TPU megakernel: fused march core — plane-row lerp, VMEM-resident
+line lookup, factor product, density accumulation, basis matmul, shading
+MLP — forward + analytic VJP (SURVEY §7 "Pallas kernel K2 the big one";
+VERDICT r3 item 1).
+
+What it fuses (vs the round-3 default path, which expresses these as ~10
+XLA ops with [P, 32..128]-scale HBM round-trips between them):
+
+  per compacted sample p and orientation i (ref: models/tensoRF.py:112-196,
+  tensorBase.py:624-632):
+    f_i  = bilerp(plane_rows_i[p])                    (quad-packed, 128-lane)
+    l_i  = lerp(line_i[x0_i[p]], line_i[x0_i[p]+1])   (one-hot MXU matmul,
+                                                       tables VMEM-resident)
+    prod = f_i * l_i
+    sigma_feat += sum(prod[:, :8])
+    app  = concat_i(prod[:, 8:]) @ basis              (72 -> 27, MXU)
+    rgb  = sigmoid(MLP_Fea_late_view(app, viewdir))   (27->128->128, +vd ->3)
+
+The plane-row GATHERS stay on XLA's emitter (Mosaic cannot express
+arbitrary-table dynamic gathers, and the 32-105 MB tables exceed VMEM —
+PERF.md "K1"); their cotangents exit this kernel as d_rows and feed the
+existing binned-scatter backward. The compositing scan stays in
+ops/pallas/composite.py. Line tables ride along in VMEM ([3, G, 64] bf16 =
+245 KB at 640^3) and their gradients accumulate in an f32 VMEM block across
+the whole point stream — replacing the three separate one-hot-matmul line
+backwards AND the three forward line gathers.
+
+Supported config (= the reference defaults; callers must guard):
+cubic grid, density_n_comp (8,8,8), app_n_comp (24,24,24), app_dim 27,
+featureC 128, MLP_Fea_late_view with fea_pe = view_pe = 0.
+
+Layouts:
+  rows_i [P, 128] table-dtype : gathered combined quad plane rows
+  aux    [P, 16]  f32         : wx0 wy0 wx1 wy1 wx2 wy2 | lw0 lw1 lw2 |
+                                x0_0 x0_1 x0_2 (as f32) | vd xyz | pad
+  lines  [3, G, 64] table-dtype
+  out    [P, 8]   f32         : sigma_feat | rgb r g b | pad
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# point-tile size: the backward keeps ~(3 rows-in + 3 rows-out + onehot +
+# MLP intermediates) x TILE_P live plus the f32 param accumulators; 512
+# fits the 16 MB VMEM budget at f32 tables, 1024 OOMs (measured)
+TILE_P = 512
+
+CD, CA = 8, 24           # density / appearance channels per orientation
+C = CD + CA              # 32
+APP_DIM = 27
+FEAT_C = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _dot(a, b, out_dt, contract=(1, 0)):
+    return jax.lax.dot_general(
+        a, b, (((contract[0],), (contract[1],)), ((), ())),
+        preferred_element_type=out_dt,
+    )
+
+
+def _plane_lerp(r, wx, wy):
+    """r [N, 128] T; wx, wy [N, 1] T -> (f [N, 32], intermediates)."""
+    v00, v01, v10, v11 = r[:, :C], r[:, C:2*C], r[:, 2*C:3*C], r[:, 3*C:4*C]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy, (v00, v01, v10, v11, top, bot)
+
+
+def _line_lookup(lines_ref, i, x0, g, tdt):
+    """One-hot MXU row pair lookup: x0 [N] i32 -> lr [N, 64] T, onehot."""
+    onehot = (
+        x0[:, None] == jax.lax.broadcasted_iota(jnp.int32, (x0.shape[0], g), 1)
+    ).astype(tdt)
+    lr = _dot(onehot, lines_ref[i], jnp.float32).astype(tdt)  # exact: 1-hot
+    return lr, onehot
+
+
+def _mlp_fwd(app, vd, p_refs, mdt):
+    """app [N, 27] f32, vd [N, 3] f32 -> rgb [N, 3] f32 + intermediates.
+
+    Matches models/tensorf.apply_mlp (MLP_Fea_late_view, pe=0): hidden dots
+    emit the compute dtype, final dot emits f32, sigmoid in f32."""
+    w1, b1, w2, b2, w3, b3 = p_refs
+    x0m = app.astype(mdt)
+    pre1 = _dot(x0m, w1[:].astype(mdt), jnp.float32).astype(mdt) + b1[:].astype(mdt)
+    h1 = jax.nn.relu(pre1)
+    pre2 = _dot(h1, w2[:].astype(mdt), jnp.float32).astype(mdt) + b2[:].astype(mdt)
+    h2 = jax.nn.relu(pre2)
+    w3h = w3[:FEAT_C, :].astype(mdt)
+    w3v = w3[FEAT_C:, :].astype(mdt)
+    pre3 = (
+        _dot(h2, w3h, jnp.float32)
+        + _dot(vd.astype(mdt), w3v, jnp.float32)
+        + b3[:].astype(jnp.float32)
+    )
+    rgb = jax.nn.sigmoid(pre3)
+    return rgb, (x0m, pre1, h1, pre2, h2, pre3)
+
+
+def _fwd_compute(rows, aux, lines_ref, basis_ref, p_refs, g, tdt, mdt):
+    """Shared forward body. rows: 3 x [N, 128] T; aux [N, 16] f32.
+
+    Returns (sigma [N] f32, rgb [N, 3] f32, saved intermediates)."""
+    sigma = jnp.zeros((aux.shape[0],), jnp.float32)
+    feats, lerp_saved, line_saved = [], [], []
+    for i in range(3):
+        wx = aux[:, 2 * i : 2 * i + 1].astype(tdt)
+        wy = aux[:, 2 * i + 1 : 2 * i + 2].astype(tdt)
+        w1l = aux[:, 6 + i : 7 + i].astype(tdt)
+        x0 = aux[:, 9 + i].astype(jnp.int32)
+        f, pl_saved = _plane_lerp(rows[i], wx, wy)
+        lr, onehot = _line_lookup(lines_ref, i, x0, g, tdt)
+        l = lr[:, :C] * (1.0 - w1l) + lr[:, C:] * w1l
+        prod = f * l
+        sigma = sigma + jnp.sum(prod[:, :CD].astype(jnp.float32), axis=-1)
+        feats.append(prod[:, CD:])
+        lerp_saved.append((f, l, lr, onehot, pl_saved, wx, wy, w1l))
+    app = jnp.zeros((aux.shape[0], APP_DIM), jnp.float32)
+    for i in range(3):
+        app = app + _dot(
+            feats[i], basis_ref[i * CA : (i + 1) * CA, :].astype(tdt), jnp.float32
+        )
+    vd = aux[:, 12:15]
+    rgb, mlp_saved = _mlp_fwd(app, vd, p_refs, mdt)
+    return sigma, rgb, app, vd, feats, lerp_saved, mlp_saved
+
+
+def _fwd_kernel(
+    rows0_ref, rows1_ref, rows2_ref, aux_ref, lines_ref, basis_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
+    *, g: int, tdt, mdt,
+):
+    rows = [rows0_ref[:], rows1_ref[:], rows2_ref[:]]
+    aux = aux_ref[:]
+    p_refs = (w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref)
+    sigma, rgb, *_ = _fwd_compute(
+        rows, aux, lines_ref, basis_ref, p_refs, g, tdt, mdt
+    )
+    out_ref[:] = jnp.concatenate(
+        [sigma[:, None], rgb, jnp.zeros((aux.shape[0], 4), jnp.float32)],
+        axis=-1,
+    )
+
+
+def _bwd_kernel(
+    rows0_ref, rows1_ref, rows2_ref, aux_ref, lines_ref, basis_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, gout_ref,
+    drows0_ref, drows1_ref, drows2_ref, daux_ref, dlines_ref, dbasis_ref,
+    dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+    *, g: int, tdt, mdt,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dlines_ref[:] = jnp.zeros_like(dlines_ref)
+        dbasis_ref[:] = jnp.zeros_like(dbasis_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dw3_ref[:] = jnp.zeros_like(dw3_ref)
+        db3_ref[:] = jnp.zeros_like(db3_ref)
+
+    rows = [rows0_ref[:], rows1_ref[:], rows2_ref[:]]
+    aux = aux_ref[:]
+    p_refs = (w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref)
+    # recompute forward intermediates (cheaper than round-tripping them)
+    sigma, rgb, app, vd, feats, lerp_saved, mlp_saved = _fwd_compute(
+        rows, aux, lines_ref, basis_ref, p_refs, g, tdt, mdt
+    )
+    x0m, pre1, h1, pre2, h2, pre3 = mlp_saved
+    gs = gout_ref[:, 0]       # d_sigma [N] f32
+    gr = gout_ref[:, 1:4]     # d_rgb   [N, 3] f32
+
+    # ---- MLP backward (mirrors apply_mlp's dtype flow) ----
+    d_pre3 = gr * rgb * (1.0 - rgb)                       # f32 [N, 3]
+    d_pre3m = d_pre3.astype(mdt)
+    w3h = w3_ref[:FEAT_C, :].astype(mdt)
+    d_h2 = _dot(d_pre3m, w3h, jnp.float32, contract=(1, 1)).astype(mdt)
+    dw3_ref[:FEAT_C, :] += _dot(h2, d_pre3m, jnp.float32, contract=(0, 0))
+    dw3_ref[FEAT_C:, :] += _dot(
+        vd.astype(mdt), d_pre3m, jnp.float32, contract=(0, 0)
+    )
+    db3_ref[:] += jnp.sum(d_pre3, axis=0, keepdims=True)
+
+    # relu masks compare in f32: Mosaic's VPU has no bf16 cmpf
+    d_pre2 = jnp.where(pre2.astype(jnp.float32) > 0, d_h2, 0).astype(mdt)
+    d_h1 = _dot(d_pre2, w2_ref[:].astype(mdt), jnp.float32, contract=(1, 1)).astype(mdt)
+    dw2_ref[:] += _dot(h1, d_pre2, jnp.float32, contract=(0, 0))
+    db2_ref[:] += jnp.sum(d_pre2.astype(jnp.float32), axis=0, keepdims=True)
+
+    d_pre1 = jnp.where(pre1.astype(jnp.float32) > 0, d_h1, 0).astype(mdt)
+    d_app = _dot(d_pre1, w1_ref[:].astype(mdt), jnp.float32, contract=(1, 1))
+    dw1_ref[:] += _dot(x0m, d_pre1, jnp.float32, contract=(0, 0))
+    db1_ref[:] += jnp.sum(d_pre1.astype(jnp.float32), axis=0, keepdims=True)
+
+    # ---- basis + per-orientation factor backward ----
+    d_app_t = d_app.astype(tdt)
+    d_wxys, d_w1ls = [], []
+    drows_refs = (drows0_ref, drows1_ref, drows2_ref)
+    gs_t = gs.astype(tdt)[:, None]
+    for i in range(3):
+        f, l, lr, onehot, pl_saved, wx, wy, w1l = lerp_saved[i]
+        v00, v01, v10, v11, top, bot = pl_saved
+        basis_i = basis_ref[i * CA : (i + 1) * CA, :].astype(tdt)
+        d_feat = _dot(d_app_t, basis_i, jnp.float32, contract=(1, 1)).astype(tdt)
+        dbasis_ref[i * CA : (i + 1) * CA, :] += _dot(
+            feats[i], d_app_t, jnp.float32, contract=(0, 0)
+        )
+        d_prod = jnp.concatenate(
+            [jnp.broadcast_to(gs_t, (gs.shape[0], CD)), d_feat], axis=-1
+        )
+        d_f = d_prod * l
+        d_l = d_prod * f
+        # line lerp backward
+        d_lr = jnp.concatenate([d_l * (1.0 - w1l), d_l * w1l], axis=-1)
+        dlines_ref[i] += _dot(
+            onehot, d_lr.astype(tdt), jnp.float32, contract=(0, 0)
+        )
+        d_w1l = jnp.sum(d_l * (lr[:, C:] - lr[:, :C]), axis=-1)
+        # plane bilerp backward
+        d_top = d_f * (1.0 - wy)
+        d_bot = d_f * wy
+        drows_refs[i][:] = jnp.concatenate(
+            [d_top * (1.0 - wx), d_top * wx, d_bot * (1.0 - wx), d_bot * wx],
+            axis=-1,
+        ).astype(drows_refs[i].dtype)
+        d_wx = jnp.sum(d_top * (v01 - v00) + d_bot * (v11 - v10), axis=-1)
+        d_wy = jnp.sum(d_f * (bot - top), axis=-1)
+        d_wxys += [d_wx.astype(jnp.float32)[:, None], d_wy.astype(jnp.float32)[:, None]]
+        d_w1ls.append(d_w1l.astype(jnp.float32)[:, None])
+    daux_ref[:] = jnp.concatenate(
+        d_wxys + d_w1ls + [jnp.zeros((aux.shape[0], 7), jnp.float32)], axis=-1
+    )
+
+
+def _pad_p(x):
+    pad = (-x.shape[0]) % TILE_P
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x
+
+
+def _specs(p_tiles, g, tdt, n_rows_specs=3):
+    row_spec = pl.BlockSpec(
+        (TILE_P, 4 * C), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    aux_spec = pl.BlockSpec((TILE_P, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [row_spec] * n_rows_specs + [
+        aux_spec,
+        full((3, g, 2 * C)),          # lines
+        full((3 * CA, APP_DIM)),      # basis
+        full((APP_DIM, FEAT_C)),      # w1
+        full((1, FEAT_C)),            # b1
+        full((FEAT_C, FEAT_C)),       # w2
+        full((1, FEAT_C)),            # b2
+        full((FEAT_C + 3, 3)),        # w3
+        full((1, 3)),                 # b3
+    ]
+    return in_specs, row_spec, aux_spec, full
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def march_core(
+    rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3, mdt_name: str
+):
+    """Fused march core. Returns out [P, 8] f32 (sigma | rgb | pad).
+
+    rows*: [P, 128] table-dtype; aux [P, 16] f32 (layout in module docstring);
+    lines [3, G, 64] table-dtype; basis [72, 27] f32; w1 [27, 128] f32;
+    b1/b2 [1, 128] f32; w2 [128, 128] f32; w3b3 ([131, 3], [1, 3]) packed as
+    a tuple is NOT jax-able — w3b3 is [132, 3] f32 with the last row = b3.
+    """
+    return _march_fwd_impl(
+        rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3, mdt_name
+    )
+
+
+def _split_w3(w3b3):
+    return w3b3[:-1, :], w3b3[-1:, :]
+
+
+def _march_fwd_impl(rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3, mdt_name):
+    p = rows0.shape[0]
+    g = lines.shape[1]
+    tdt = rows0.dtype
+    mdt = jnp.dtype(mdt_name)
+    rows0p, rows1p, rows2p, auxp = map(_pad_p, (rows0, rows1, rows2, aux))
+    pp = rows0p.shape[0]
+    p_tiles = pp // TILE_P
+    w3, b3 = _split_w3(w3b3)
+    in_specs, _, aux_spec, full = _specs(p_tiles, g, tdt)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, g=g, tdt=tdt, mdt=mdt),
+        grid=(p_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TILE_P, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((pp, 8), jnp.float32),
+        interpret=_interpret(),
+    )(rows0p, rows1p, rows2p, auxp, lines, basis, w1, b1, w2, b2, w3, b3)
+    return out[:p]
+
+
+def _march_fwd(rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3, mdt_name):
+    out = _march_fwd_impl(
+        rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3, mdt_name
+    )
+    return out, (rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3)
+
+
+def _march_bwd(mdt_name, res, gout):
+    rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3 = res
+    p = rows0.shape[0]
+    g = lines.shape[1]
+    tdt = rows0.dtype
+    mdt = jnp.dtype(mdt_name)
+    rows0p, rows1p, rows2p, auxp, goutp = map(
+        _pad_p, (rows0, rows1, rows2, aux, gout)
+    )
+    pp = rows0p.shape[0]
+    p_tiles = pp // TILE_P
+    w3, b3 = _split_w3(w3b3)
+    in_specs, row_spec, aux_spec, full = _specs(p_tiles, g, tdt)
+    in_specs = in_specs + [
+        pl.BlockSpec((TILE_P, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    out_specs = [
+        row_spec, row_spec, row_spec, aux_spec,
+        full((3, g, 2 * C)),
+        full((3 * CA, APP_DIM)),
+        full((APP_DIM, FEAT_C)),
+        full((1, FEAT_C)),
+        full((FEAT_C, FEAT_C)),
+        full((1, FEAT_C)),
+        full((FEAT_C + 3, 3)),
+        full((1, 3)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((pp, 4 * C), tdt),
+        jax.ShapeDtypeStruct((pp, 4 * C), tdt),
+        jax.ShapeDtypeStruct((pp, 4 * C), tdt),
+        jax.ShapeDtypeStruct((pp, 16), jnp.float32),
+        jax.ShapeDtypeStruct((3, g, 2 * C), jnp.float32),
+        jax.ShapeDtypeStruct((3 * CA, APP_DIM), jnp.float32),
+        jax.ShapeDtypeStruct((APP_DIM, FEAT_C), jnp.float32),
+        jax.ShapeDtypeStruct((1, FEAT_C), jnp.float32),
+        jax.ShapeDtypeStruct((FEAT_C, FEAT_C), jnp.float32),
+        jax.ShapeDtypeStruct((1, FEAT_C), jnp.float32),
+        jax.ShapeDtypeStruct((FEAT_C + 3, 3), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3), jnp.float32),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, g=g, tdt=tdt, mdt=mdt),
+        grid=(p_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(rows0p, rows1p, rows2p, auxp, lines, basis, w1, b1, w2, b2, w3, b3, goutp)
+    (drows0, drows1, drows2, daux, dlines, dbasis,
+     dw1, db1, dw2, db2, dw3, db3) = outs
+    dw3b3 = jnp.concatenate([dw3, db3], axis=0)
+    return (
+        drows0[:p], drows1[:p], drows2[:p], daux[:p],
+        dlines.astype(lines.dtype), dbasis, dw1, db1, dw2, db2, dw3b3,
+    )
+
+
+march_core.defvjp(_march_fwd, _march_bwd)
+
+
+def fused_march_supported(cfg) -> bool:
+    """The kernel is specialized to the reference's default shape config."""
+    g = cfg.grid_size
+    return (
+        tuple(cfg.density_n_comp) == (CD, CD, CD)
+        and tuple(cfg.app_n_comp) == (CA, CA, CA)
+        and cfg.app_dim == APP_DIM
+        and cfg.feature_c == FEAT_C
+        and cfg.shading_mode == "MLP_Fea_late_view"
+        and cfg.fea_pe == 0 and cfg.view_pe == 0
+        and g[0] == g[1] == g[2]
+    )
+
+
+def fused_march_features(params, quad, pts, viewdirs, cfg):
+    """Gather plane rows (XLA emitter / binned backward as configured), then
+    run the fused Pallas march core.
+
+    pts: [P, 3] normalized coords; viewdirs: [P, 3] (caller stop-grads).
+    Returns (sigma_feat [P] f32, rgb [P, 3] f32).
+    """
+    from ..grid import line_texel, plane_texel
+
+    # local import to avoid a cycle (tensorf imports this module's caller)
+    g = cfg.grid_size
+    rows, auxc = [], []
+    x0s, w1s = [], []
+    from ...models.tensorf import MAT_MODE, VEC_MODE  # noqa: PLC0415
+
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        idx, wx, wy = plane_texel(g[m1], g[m0], pts[:, (m0, m1)])
+        table = quad[f"comb_plane_{i}"]
+        if cfg.binned_scatter and table.shape[0] >= cfg.binned_min_rows:
+            from .binned_scatter import take_rows_binned
+
+            r = take_rows_binned(table, idx)
+        else:
+            r = table.at[idx].get(mode="promise_in_bounds")
+        rows.append(r)
+        auxc += [wx, wy]
+        x0, w1l = line_texel(g[VEC_MODE[i]], pts[:, VEC_MODE[i]])
+        x0s.append(x0)
+        w1s.append(w1l)
+    aux = jnp.concatenate(
+        auxc
+        + w1s
+        + [jnp.stack(x0s, axis=-1).astype(jnp.float32)]
+        + [viewdirs, jnp.zeros((pts.shape[0], 1), jnp.float32)],
+        axis=-1,
+    )
+    lines = jnp.stack([quad[f"comb_line_{i}"] for i in range(3)])
+    mlp = params["mlp"]
+    w3b3 = jnp.concatenate([mlp["w3"], mlp["b3"][None, :]], axis=0)
+    out = march_core(
+        rows[0], rows[1], rows[2], aux, lines,
+        params["basis_mat"],
+        mlp["w1"], mlp["b1"][None, :], mlp["w2"], mlp["b2"][None, :],
+        w3b3, str(cfg.mlp_dtype),
+    )
+    return out[:, 0], out[:, 1:4]

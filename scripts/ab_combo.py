@@ -30,6 +30,8 @@ VARIANTS = [
     ("fused_both", {
         "fused_plane_gather": True, "fused_line_gather": True,
     }),
+    # round-4: the fused Pallas march core (ops/pallas/march.py)
+    ("fused_march", {"fused_march": True}),
 ]
 
 

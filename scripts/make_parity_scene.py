@@ -21,7 +21,7 @@ FOV = 60.0
 STEP_X = 0.05
 
 
-def build_scene(n_frames: int = N_FRAMES, fov: float = FOV):
+def build_scene(n_frames: int = N_FRAMES, fov: float = FOV, wh=None):
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +30,7 @@ def build_scene(n_frames: int = N_FRAMES, fov: float = FOV):
     from localrf_tpu.ops.math import get_cam2cams, get_pred_flow
     from localrf_tpu.ops.rays import get_ray_directions_lean, ids2pixel
 
+    W, H = wh if wh is not None else (globals()["W"], globals()["H"])
     cfg = TensorfConfig(grid_size=(24, 24, 24), density_shift=-3.0)
     params = init_tensorf(jax.random.PRNGKey(7), cfg)
     for i in range(3):
@@ -57,13 +58,18 @@ def build_scene(n_frames: int = N_FRAMES, fov: float = FOV):
     )
 
     imgs, depths = [], []
+    chunk = 65536
     for i in range(n_frames):
-        rgb, depth, _, _ = render_chunk(
-            params, cfg, ray_ids, jnp.asarray(c2ws[i][None]),
-            jnp.asarray(focal, jnp.float32), jnp.asarray(center), w=W, h=H,
-        )
-        imgs.append(np.asarray(rgb).reshape(H, W, 3))
-        depths.append(np.asarray(depth).reshape(H, W))
+        rgbs, deps = [], []
+        for c0 in range(0, W * H, chunk):
+            rgb, depth, _, _ = render_chunk(
+                params, cfg, ray_ids[c0 : c0 + chunk], jnp.asarray(c2ws[i][None]),
+                jnp.asarray(focal, jnp.float32), jnp.asarray(center), w=W, h=H,
+            )
+            rgbs.append(np.asarray(rgb))
+            deps.append(np.asarray(depth))
+        imgs.append(np.concatenate(rgbs).reshape(H, W, 3))
+        depths.append(np.concatenate(deps).reshape(H, W))
     imgs = np.stack(imgs)
     depths = np.stack(depths)
 
@@ -94,6 +100,7 @@ def write_scene(
     n_frames: int = N_FRAMES,
     fov: float = FOV,
     exposure_jitter: float = 0.0,
+    wh=None,
 ):
     """exposure_jitter > 0 scales frame i's pixels by a deterministic gain
     in [1-j, 1+j] (exercises the exposure-compensation path); fov sets the
@@ -103,7 +110,8 @@ def write_scene(
 
     from localrf_tpu.data.flow_io import encode_flow
 
-    imgs, depths, fwd_flow, bwd_flow = build_scene(n_frames, fov)
+    W, H = wh if wh is not None else (globals()["W"], globals()["H"])
+    imgs, depths, fwd_flow, bwd_flow = build_scene(n_frames, fov, wh=(W, H))
     if exposure_jitter > 0:
         gains = 1.0 + exposure_jitter * np.sin(
             1.0 + 2.399963 * np.arange(n_frames)  # golden-angle walk, det.
