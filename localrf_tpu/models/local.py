@@ -698,7 +698,7 @@ class LocalTensorfs:
             from .step import train_chunk_pooled
 
             stacked_batch = self._place_pool_batch(stacked_batch)
-            new_field, new_pose, new_intr, metrics = train_chunk_pooled(
+            chunk_args = (
                 field_state,
                 self._pose_dev,
                 self.intr,
@@ -710,6 +710,16 @@ class LocalTensorfs:
                 k,
                 self.pool.n_px,
                 f["alpha_volume"],
+            )
+            if getattr(self, "debug_record_placement", False):
+                # sharding regression hooks for the multichip dryrun
+                # (__graft_entry__): the placed batch + the exact jitted-call
+                # args, so the dryrun can assert array shardings and lower
+                # the executable to check GSPMD inserted collectives
+                self.last_placed_batch = stacked_batch
+                self.last_chunk_args = chunk_args
+            new_field, new_pose, new_intr, metrics = train_chunk_pooled(
+                *chunk_args
             )
         else:
             stacked_batch = self._place_batch(stacked_batch)

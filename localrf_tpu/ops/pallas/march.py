@@ -123,7 +123,10 @@ def _fwd_compute(rows, aux, lines_ref, basis_ref, p_refs, g, tdt, mdt):
         prod = f * l
         sigma = sigma + jnp.sum(prod[:, :CD].astype(jnp.float32), axis=-1)
         feats.append(prod[:, CD:])
-        lerp_saved.append((f, l, lr, onehot, pl_saved, wx, wy, w1l))
+        # NOTE: the [N, G] onehot is deliberately NOT saved — keeping all 3
+        # alive costs ~2 MB of VMEM at G=640 (measured OOM); the backward
+        # recomputes each orientation's onehot in its own loop iteration
+        lerp_saved.append((f, l, lr, pl_saved, wx, wy, w1l))
     app = jnp.zeros((aux.shape[0], APP_DIM), jnp.float32)
     for i in range(3):
         app = app + _dot(
@@ -208,8 +211,10 @@ def _bwd_kernel(
     drows_refs = (drows0_ref, drows1_ref, drows2_ref)
     gs_t = gs.astype(tdt)[:, None]
     for i in range(3):
-        f, l, lr, onehot, pl_saved, wx, wy, w1l = lerp_saved[i]
+        f, l, lr, pl_saved, wx, wy, w1l = lerp_saved[i]
         v00, v01, v10, v11, top, bot = pl_saved
+        x0 = aux[:, 9 + i].astype(jnp.int32)
+        _, onehot = _line_lookup(lines_ref, i, x0, g, tdt)
         basis_i = basis_ref[i * CA : (i + 1) * CA, :].astype(tdt)
         d_feat = _dot(d_app_t, basis_i, jnp.float32, contract=(1, 1)).astype(tdt)
         dbasis_ref[i * CA : (i + 1) * CA, :] += _dot(
