@@ -191,7 +191,10 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " lookup + factor product + basis matmul + shading MLP) into one"
         " Pallas kernel with analytic VJP (ops/pallas/march.py); plane"
         " gathers/scatters stay on the XLA/binned path. Only active for the"
-        " reference's default shape config; see PERF.md for the in-step A/B",
+        " reference's default shape config. Measured in-step LOSS at every"
+        " stage (1.22-1.44x, PERF.md round 4): the decomposed path's"
+        " intermediates already fuse and XLA overlaps the per-orientation"
+        " gathers the kernel barriers on — stays opt-in",
     )
     parser.add_argument(
         "--data_parallel", type=int, default=0,

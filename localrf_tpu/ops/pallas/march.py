@@ -47,8 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 # point-tile size: the backward keeps ~(3 rows-in + 3 rows-out + onehot +
 # MLP intermediates) x TILE_P live plus the f32 param accumulators; 512
-# fits the 16 MB VMEM budget at f32 tables, 1024 OOMs (measured)
+# fits the 16 MB VMEM budget at f32 tables up to G=404 (1024 OOMs), and
+# G >= 512 needs 256 (the [TILE_P, G] onehot buffers dominate; Mosaic's
+# stack allocator does not reclaim them across the orientation loop)
 TILE_P = 512
+
+
+def _tile_p(g: int) -> int:
+    return 256 if g >= 512 else TILE_P
 
 CD, CA = 8, 24           # density / appearance channels per orientation
 C = CD + CA              # 32
@@ -247,18 +253,18 @@ def _bwd_kernel(
     )
 
 
-def _pad_p(x):
-    pad = (-x.shape[0]) % TILE_P
+def _pad_p(x, tile: int = TILE_P):
+    pad = (-x.shape[0]) % tile
     if pad:
         x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
     return x
 
 
-def _specs(p_tiles, g, tdt, n_rows_specs=3):
+def _specs(p_tiles, g, tdt, n_rows_specs=3, tile: int = TILE_P):
     row_spec = pl.BlockSpec(
-        (TILE_P, 4 * C), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tile, 4 * C), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    aux_spec = pl.BlockSpec((TILE_P, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    aux_spec = pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -301,17 +307,20 @@ def _march_fwd_impl(rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3
     g = lines.shape[1]
     tdt = rows0.dtype
     mdt = jnp.dtype(mdt_name)
-    rows0p, rows1p, rows2p, auxp = map(_pad_p, (rows0, rows1, rows2, aux))
+    tile = _tile_p(g)
+    rows0p, rows1p, rows2p, auxp = (
+        _pad_p(x, tile) for x in (rows0, rows1, rows2, aux)
+    )
     pp = rows0p.shape[0]
-    p_tiles = pp // TILE_P
+    p_tiles = pp // tile
     w3, b3 = _split_w3(w3b3)
-    in_specs, _, aux_spec, full = _specs(p_tiles, g, tdt)
+    in_specs, _, aux_spec, full = _specs(p_tiles, g, tdt, tile=tile)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, g=g, tdt=tdt, mdt=mdt),
         grid=(p_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (TILE_P, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((pp, 8), jnp.float32),
         interpret=_interpret(),
@@ -332,15 +341,16 @@ def _march_bwd(mdt_name, res, gout):
     g = lines.shape[1]
     tdt = rows0.dtype
     mdt = jnp.dtype(mdt_name)
-    rows0p, rows1p, rows2p, auxp, goutp = map(
-        _pad_p, (rows0, rows1, rows2, aux, gout)
+    tile = _tile_p(g)
+    rows0p, rows1p, rows2p, auxp, goutp = (
+        _pad_p(x, tile) for x in (rows0, rows1, rows2, aux, gout)
     )
     pp = rows0p.shape[0]
-    p_tiles = pp // TILE_P
+    p_tiles = pp // tile
     w3, b3 = _split_w3(w3b3)
-    in_specs, row_spec, aux_spec, full = _specs(p_tiles, g, tdt)
+    in_specs, row_spec, aux_spec, full = _specs(p_tiles, g, tdt, tile=tile)
     in_specs = in_specs + [
-        pl.BlockSpec((TILE_P, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ]
     out_specs = [
         row_spec, row_spec, row_spec, aux_spec,
