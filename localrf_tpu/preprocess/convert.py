@@ -28,7 +28,18 @@ def convert_raft_checkpoint(path: str) -> dict:
     import torch
 
     sd = torch.load(path, map_location="cpu")
-    sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+    return convert_raft_state_dict(
+        {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+    )
+
+
+def convert_raft_state_dict(sd: dict) -> dict:
+    """Stripped-prefix state dict (numpy-convertible values) -> RAFT pytree.
+
+    Split out from the file loader so tests can wrap `sd` in a key-access
+    recorder and assert every checkpoint weight is consumed (a silently
+    dropped layer would otherwise only surface as a KeyError much later, or
+    not at all for an optional-looking key)."""
 
     def conv(prefix):
         w = _conv_w(sd[f"{prefix}.weight"])
