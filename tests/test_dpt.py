@@ -25,6 +25,7 @@ def torch_dpt():
     return model
 
 
+@pytest.mark.slow
 def test_dpt_matches_transformers(torch_dpt, rng):
     cfg = DPTConfigJ()  # defaults == HF DPTConfig defaults (DPT-base)
     params = convert_dpt_state_dict(torch_dpt.state_dict(), cfg)
@@ -43,6 +44,7 @@ def test_dpt_matches_transformers(torch_dpt, rng):
     )
 
 
+@pytest.mark.slow
 def test_dpt_batched_shapes(torch_dpt):
     cfg = DPTConfigJ()
     params = convert_dpt_state_dict(torch_dpt.state_dict(), cfg)

@@ -136,6 +136,7 @@ def test_renderer_annotate(tmp_path):
     assert os.path.isdir(f"{tmp_path}/rgb_maps")
 
 
+@pytest.mark.slow
 def test_reconstruction_pool_with_data_parallel(tmp_path):
     """The CLI composes --pixel_pool with --data_parallel (the pool gate on
     an absent mesh was removed): pooled index-stream batches run over a

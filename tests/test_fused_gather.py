@@ -29,6 +29,7 @@ def _features(params, cfg, pts):
     return compute_density_app_features(params, pts, cfg, quad)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("binned", [False, True], ids=["plain", "binned"])
 @pytest.mark.parametrize("gather_dtype", ["float32", "bfloat16"])
 def test_fused_matches_per_orientation(rng, binned, gather_dtype):

@@ -79,6 +79,7 @@ def test_forward_parity(dtype):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_grad_parity_params(dtype):
     """Gradients w.r.t. every canonical parameter group (planes and lines

@@ -58,6 +58,7 @@ def test_convex_upsample_constant_flow(rng):
     np.testing.assert_allclose(up[:, 8:-8, 8:-8], 12.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_raft_forward_shapes(rng):
     params = init_raft(jax.random.PRNGKey(0))
     h, w = 64, 80

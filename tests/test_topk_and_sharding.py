@@ -151,6 +151,7 @@ def test_occupancy_pack_and_valid_match_trilinear():
     np.testing.assert_array_equal(fast, tri > 0)
 
 
+@pytest.mark.slow
 def test_occupancy_compaction_grads():
     import dataclasses
     from localrf_tpu.models.tensorf import update_alpha_volume
@@ -172,6 +173,7 @@ def test_occupancy_compaction_grads():
     assert np.isfinite(total) and total > 0
 
 
+@pytest.mark.slow
 def test_sample_parallel_march_matches_sequential():
     """Sequence-parallel march (parallel/sp.py): sharding the march's sample
     axis over all 8 devices and compositing segments associatively must
@@ -188,6 +190,7 @@ def test_sample_parallel_march_matches_sequential():
     np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sample_parallel_march_with_occupancy():
     from localrf_tpu.parallel.sp import make_sp_mesh, render_rays_sp
 
@@ -207,6 +210,7 @@ def test_sample_parallel_march_with_occupancy():
     np.testing.assert_allclose(np.asarray(dep1), np.asarray(dep0), rtol=1e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dp_sp_2d_mesh_matches_sequential():
     """Ray-batch DP composed with sample parallelism on a 2D ("data",
     "sample") mesh (parallel/sp.make_dp_sp_mesh): rays sharded 2-way, march
@@ -265,6 +269,7 @@ def test_coarsen_alpha_conservative_at_march_scale():
     assert not missed.any(), f"{missed.sum()} fine-occupied points missed by coarse probe"
 
 
+@pytest.mark.slow
 def test_coarse_probe_matches_exact_compaction():
     """With occ_probe_ds set and no occupied group truncated, the coarse-probe
     march must reproduce the exact per-sample compaction bit-for-bit: the
