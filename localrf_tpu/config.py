@@ -186,6 +186,16 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " at 640^3 (scripts/ab_combo.py) — stays opt-in",
     )
     parser.add_argument(
+        "--fused_fwd_gather", type=int, default=0, choices=[0, 1, 2],
+        help="forward-fuse the factor-table gathers into ONE dispatch with"
+        " per-orientation backwards (1 = the 3 plane tables, 2 = planes +"
+        " lane-padded line tables). Measured 1.40x in-step LOSS at"
+        " 404^3/640^3: the concatenated table crosses XLA's gather"
+        " table-size cliff (~3.5 -> ~12.3 ns/idx above ~128 MB — PERF.md"
+        " round 4), which also re-attributes the r3 fused_plane_gather"
+        " loss. Stays opt-in; useful only below the cliff",
+    )
+    parser.add_argument(
         "--fused_march", type=int, default=0,
         help="fuse the march core (plane-row lerp + VMEM-resident line"
         " lookup + factor product + basis matmul + shading MLP) into one"

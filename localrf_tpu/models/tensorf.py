@@ -100,6 +100,13 @@ class TensorfConfig:
     # offsets are static); kept as an opt-in for single-kernel-count-bound
     # deployments.
     fused_plane_gather: bool = False
+    # forward-fused multi-table gather with PER-SEGMENT backwards (round 4,
+    # ops/pallas/binned_scatter.take_rows_fwdfused): 0 = off, 1 = the 3
+    # plane tables in one gather dispatch, 2 = planes + the 3 line tables
+    # (lane-padded) in one dispatch. Amortizes the measured ~4.5 ms fixed
+    # per-dispatch gather cost (PERF.md roofline) without the r3
+    # fused-backward serialization loss.
+    fused_fwd_gather: int = 0
     # gather the 3 LINE tables' rows in ONE dispatch over a row-concatenated
     # stack (same amortization argument as fused_plane_gather), with the
     # backward kept as 3 per-orientation one-hot matmuls — a single fused
@@ -318,6 +325,79 @@ def compute_density_app_features(
     # the per-orientation channel counts match (the reference's defaults)
     fused = cfg.fused_plane_gather and len({t.shape[1] for t in tables}) == 1
     plane_rows = [None, None, None]
+    line_feats = [None, None, None]
+    # forward-fused gather with PER-SEGMENT backwards (round 4): one gather
+    # dispatch amortizes the measured ~4.5 ms fixed per-dispatch cost over
+    # all plane (and optionally line) tables while the backward stays
+    # per-orientation (the r3 fused-backward serialization loss does not
+    # apply). See ops/pallas/binned_scatter.take_rows_fwdfused.
+    fwdfused = (
+        cfg.fused_fwd_gather > 0
+        and not fused
+        and len({t.shape[1] for t in tables}) == 1
+    )
+    if fwdfused:
+        from ..ops.pallas.binned_scatter import take_rows_fwdfused
+
+        width = tables[0].shape[1]
+        lines_q = [quad[f"comb_line_{i}"] for i in range(3)]
+        include_lines = (
+            cfg.fused_fwd_gather >= 2
+            and cfg.line_mode == "onehot"
+            and all(ln.shape[1] <= width for ln in lines_q)
+        )
+        segs, idxs, seg_bwd = [], [], []
+        wxs, wys, w1s_ff = [], [], []
+        off = 0
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            idx, wx, wy = plane_texel(g[m1], g[m0], pts[:, (m0, m1)])
+            segs.append(tables[i])
+            idxs.append(idx + off)
+            off += tables[i].shape[0]
+            seg_bwd.append(
+                "binned"
+                if cfg.binned_scatter and tables[i].shape[0] >= cfg.binned_min_rows
+                else "scatter"
+            )
+            wxs.append(wx)
+            wys.append(wy)
+        if include_lines:
+            for i in range(3):
+                x0, w1 = line_texel(g[VEC_MODE[i]], pts[:, VEC_MODE[i]])
+                ln = lines_q[i]
+                if ln.shape[1] < width:
+                    ln = jnp.pad(ln, ((0, 0), (0, width - ln.shape[1])))
+                segs.append(ln)
+                idxs.append(x0 + off)
+                off += ln.shape[0]
+                seg_bwd.append("onehot")
+                w1s_ff.append(w1)
+        splits = (0,)
+        for t in segs:
+            splits += (splits[-1] + t.shape[0],)
+        big = jnp.concatenate(segs, axis=0)
+        rows_all = take_rows_fwdfused(
+            big, jnp.concatenate(idxs), splits, tuple(seg_bwd)
+        )
+        p = pts.shape[0]
+        plane_rows = [
+            quad_lerp_2d(
+                rows_all[i * p : (i + 1) * p], wxs[i], wys[i], cds[i] + cas[i]
+            )
+            for i in range(3)
+        ]
+        if include_lines:
+            line_feats = [
+                quad_lerp_1d(
+                    rows_all[(3 + i) * p : (4 + i) * p][
+                        :, : 2 * (cds[i] + cas[i])
+                    ],
+                    w1s_ff[i],
+                    cds[i] + cas[i],
+                )
+                for i in range(3)
+            ]
     if fused:
         idxs, wxs, wys = [], [], []
         off = 0
@@ -347,10 +427,10 @@ def compute_density_app_features(
     lines = [quad[f"comb_line_{i}"] for i in range(3)]
     fused_line = (
         cfg.fused_line_gather
+        and line_feats[0] is None
         and cfg.line_mode == "onehot"
         and len({ln.shape[1] for ln in lines}) == 1
     )
-    line_feats = [None, None, None]
     if fused_line:
         from ..ops.pallas.segsum import take_rows_onehot_multi
 
@@ -373,7 +453,7 @@ def compute_density_app_features(
         v = VEC_MODE[i]
         cd, ca = cds[i], cas[i]
         c = cd + ca
-        if fused:
+        if plane_rows[i] is not None:
             pf = plane_rows[i]
         else:
             binned = (
@@ -383,7 +463,7 @@ def compute_density_app_features(
             pf = quad_sample_2d(
                 quad[f"comb_plane_{i}"], g[m1], g[m0], pts[:, (m0, m1)], c, binned
             )
-        if fused_line:
+        if line_feats[i] is not None:
             lf = line_feats[i]
         else:
             lf = quad_sample_1d(

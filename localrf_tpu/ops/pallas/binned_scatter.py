@@ -42,6 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_ROWS = int(os.environ.get("LOCALRF_BINNED_TILE_ROWS", "256"))
 CHUNK = int(os.environ.get("LOCALRF_BINNED_CHUNK", "1024"))
 
+# XLA's gather emitter has a measured TABLE-SIZE cliff on v5e: row gathers
+# run at ~3.5 ns/idx on operands up to ~115 MB and fall to ~12.3 ns/idx
+# above ~128 MB (measured round 4 at [rows, 128] bf16: 450k rows 3.8 ns/idx,
+# 500k rows 12.3 ns/idx — PERF.md "the gather table-size cliff"). The binned
+# scatter's payload-reorder gather (`g.at[order]`) operates on the [P, C]
+# payload itself, which crosses the cliff at P >= ~450k bf16 rows (the
+# 255^3+ stages at batch 4096) — so the point stream is split into
+# under-cliff chunks, each sorted/reordered/binned independently, partials
+# summed in f32. Env-overridable for hardware sweeps.
+SPLIT_MAX_BYTES = int(
+    os.environ.get("LOCALRF_BINNED_SPLIT_MAX_BYTES", str(100 * 2**20))
+)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -106,6 +119,25 @@ def binned_segment_sum(
     assert tile_rows % 8 == 0 and tile_rows > 0, (
         f"tile_rows must be a positive multiple of 8 (sublanes), got {tile_rows}"
     )
+
+    # keep the payload-reorder gather under the emitter's table-size cliff
+    # (see SPLIT_MAX_BYTES): split the point stream, sum f32 partials
+    max_rows = max(chunk, SPLIT_MAX_BYTES // max(1, c * g.dtype.itemsize))
+    if p > max_rows:
+        k = -(-p // max_rows)
+        csize = -(-p // k)
+        out = None
+        for i in range(k):
+            part = binned_segment_sum(
+                idx[i * csize : (i + 1) * csize],
+                g[i * csize : (i + 1) * csize],
+                n_rows,
+                tile_rows=tile_rows,
+                chunk=chunk,
+                out_dtype=jnp.float32,
+            )
+            out = part if out is None else out + part
+        return out.astype(out_dtype)
 
     # 1. sort indices, carrying the original position
     pos = jax.lax.iota(jnp.int32, p)
@@ -194,3 +226,75 @@ def _take_bwd(res, gr):
 
 
 take_rows_binned.defvjp(_take_fwd, _take_bwd)
+
+
+# --------------------------------------------------------------------------
+# Forward-fused multi-table gather with PER-SEGMENT backwards.
+#
+# The round-4 xplane profile shows gathers at 48.7% of the 640^3 step and
+# the roofline shows each gather dispatch carries a ~4.5 ms FIXED cost
+# (ns/idx falls 109.7 -> 2.6 from 42k to 5.4M indices: amortization of a
+# per-dispatch overhead, not bandwidth). ONE gather over a row-concatenated
+# table stack amortizes that fixed cost over all segments. The round-3
+# `fused_plane_gather` fused the BACKWARD too (one 4M-index sort + one tile
+# schedule) and lost 1.39x in-step; here the cotangent is sliced back into
+# per-segment scatter-adds (binned kernel / XLA emitter / one-hot matmul
+# per segment) that schedule independently, exactly like the unfused path.
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def take_rows_fwdfused(
+    table: jax.Array, idx: jax.Array, splits: tuple, seg_bwd: tuple
+):
+    """One gather over a row-concatenated table stack; per-segment VJP.
+
+    table: [splits[-1], C] — k tables stacked along rows.
+    idx: [k * P] int32 — k equal-length segments in stack order, already
+      offset into each table's row range.
+    splits: static (0, r1, ..., n_rows).
+    seg_bwd: static per-segment backward mode: "binned" (sort + MXU tiles),
+      "onehot" (one-hot matmul segment-sum — small tables), or "scatter"
+      (XLA emitter).
+    """
+    return table.at[idx].get(mode="promise_in_bounds")
+
+
+def _take_ff_fwd(table, idx, splits, seg_bwd):
+    proto = jnp.zeros((0,), table.dtype)
+    return take_rows_fwdfused(table, idx, splits, seg_bwd), (idx, proto)
+
+
+def _take_ff_bwd(splits, seg_bwd, res, gr):
+    idx, proto = res
+    k = len(splits) - 1
+    p = idx.shape[0] // k
+    d_segs = []
+    for s in range(k):
+        n_rows = splits[s + 1] - splits[s]
+        idx_s = idx[s * p : (s + 1) * p] - splits[s]
+        g_s = gr[s * p : (s + 1) * p]
+        if seg_bwd[s] == "binned":
+            d = binned_segment_sum(idx_s, g_s, n_rows, out_dtype=proto.dtype)
+        elif seg_bwd[s] == "onehot":
+            onehot = (
+                idx_s[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+            ).astype(g_s.dtype)
+            d = jax.lax.dot_general(
+                onehot, g_s,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(proto.dtype)
+        else:
+            d = (
+                jnp.zeros((n_rows, gr.shape[1]), jnp.float32)
+                .at[idx_s]
+                .add(g_s.astype(jnp.float32), mode="promise_in_bounds")
+                .astype(proto.dtype)
+            )
+        d_segs.append(d)
+    return jnp.concatenate(d_segs, axis=0), None
+
+
+take_rows_fwdfused.defvjp(_take_ff_fwd, _take_ff_bwd)

@@ -231,6 +231,7 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         line_bwd=getattr(args, "line_bwd", "gather"),
         gather_dtype=getattr(args, "gather_dtype", "bfloat16"),
         mlp_dtype=getattr(args, "mlp_dtype", "bfloat16"),
+        fused_fwd_gather=int(getattr(args, "fused_fwd_gather", 0)),
         fused_march=bool(getattr(args, "fused_march", 0)),
         occ_probe_ds=getattr(args, "occ_probe_ds", 4),
         occ_refine=bool(getattr(args, "occ_refine", 1)),

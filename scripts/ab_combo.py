@@ -32,6 +32,9 @@ VARIANTS = [
     }),
     # round-4: the fused Pallas march core (ops/pallas/march.py)
     ("fused_march", {"fused_march": True}),
+    # round-4: forward-fused gathers, per-segment backwards
+    ("fwdfused", {"fused_fwd_gather": 1}),
+    ("fwdfused_lines", {"fused_fwd_gather": 2}),
 ]
 
 

@@ -112,3 +112,25 @@ def test_take_rows_binned_bf16_table_grad_dtype(rng):
     np.testing.assert_allclose(
         np.asarray(g, np.float32), np.asarray(ref), rtol=0.01, atol=0.01
     )
+
+
+def test_binned_segment_sum_split_path(rng):
+    """Payloads above SPLIT_MAX_BYTES are processed in under-cliff chunks
+    (round 4: XLA's gather emitter falls 3.5 -> 12.3 ns/idx above ~128 MB
+    operands, so the sort-order payload reorder must stay under it). Force
+    several splits and check exactness against the scatter oracle."""
+    import localrf_tpu.ops.pallas.binned_scatter as bs
+
+    orig = bs.SPLIT_MAX_BYTES
+    bs.SPLIT_MAX_BYTES = 64 * 1024
+    try:
+        p, n_rows, c = 7111, 300, 128
+        idx = jnp.asarray(rng.integers(0, n_rows, p).astype(np.int32))
+        g = jnp.asarray(rng.normal(size=(p, c)).astype(np.float32))
+        out = bs.binned_segment_sum(idx, g, n_rows, tile_rows=128, chunk=256)
+        oracle = jnp.zeros((n_rows, c), jnp.float32).at[idx].add(g)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(oracle), rtol=1e-5, atol=1e-5
+        )
+    finally:
+        bs.SPLIT_MAX_BYTES = orig

@@ -60,16 +60,20 @@ def _pose_err(t_learned, t_gt):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "gather_dtype,mlp_dtype",
+    "gather_dtype,mlp_dtype,moment_dtype",
     [
-        ("float32", "float32"),
-        ("bfloat16", "float32"),
+        ("float32", "float32", "float32"),
+        ("bfloat16", "float32", "float32"),
         # the CLI default pairing: bf16 gather tables AND bf16 MLP compute
         # must still converge jointly (ADVICE r2)
-        ("bfloat16", "bfloat16"),
+        ("bfloat16", "bfloat16", "float32"),
+        # bf16 Adam moments under the production pairing (VERDICT r3 item
+        # 10): measured a perf wash (PERF.md round 4), so f32 stays the
+        # default — this gate covers users who flip it for HBM headroom
+        ("bfloat16", "bfloat16", "bfloat16"),
     ],
 )
-def test_joint_pose_field_optimization_converges(gather_dtype, mlp_dtype):
+def test_joint_pose_field_optimization_converges(gather_dtype, mlp_dtype, moment_dtype):
     imgs, gt_t = _gt_scene()
     ds = SyntheticDataset(imgs, "train", n_init_frames=N_FRAMES, test_frame_every=0)
     cfg = LocalConfig(
@@ -83,6 +87,7 @@ def test_joint_pose_field_optimization_converges(gather_dtype, mlp_dtype):
         loss_flow_weight=0.0,
         loss_depth_weight=0.0,
         l1_weight=0.0,
+        moment_dtype=moment_dtype,
         tensorf=TensorfConfig(
             grid_size=(20, 20, 20),
             gather_dtype=gather_dtype,
