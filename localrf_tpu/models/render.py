@@ -121,15 +121,26 @@ def render_rays(
         valid_c = valid_c.at[:, -1].set(False)
         mc = max(1, cfg.occ_m // probe)
         sel_c, selv_c = compact_valid_samples(valid_c, mc)
-        sel = jnp.minimum(
-            sel_c[:, :, None] * probe + jnp.arange(probe, dtype=jnp.int32),
-            s - 1,
-        ).reshape(r, mc * probe)
-        sel = sel.at[:, -1].set(s - 1)  # dense terminator sample
         sel_valid = jnp.broadcast_to(
             selv_c[:, :, None], (r, mc, probe)
         ).reshape(r, mc * probe)
-        z_vals, dists = _gather_z_dists(z_vals, dists, sel)
+        # group-granularity z/dist gather: one [2*probe]-wide row per
+        # selected GROUP instead of one 2-wide row per sample — probe-x
+        # fewer gather indices on the per-index-bound emitter (PERF.md),
+        # bit-identical values. Rows past S-1 replicate the terminator row,
+        # exactly matching the old per-sample clamp min(sel, s-1).
+        zd = jnp.stack([z_vals[0], dists[0]], axis=-1)  # [S, 2]
+        pad_rows = sc * probe - s
+        if pad_rows > 0:
+            zd = jnp.concatenate(
+                [zd, jnp.broadcast_to(zd[s - 1 : s], (pad_rows, 2))]
+            )
+        zd_packed = zd.reshape(sc, probe * 2)
+        rows = zd_packed.at[sel_c].get(mode="promise_in_bounds")  # [R, mc, 2p]
+        rows = rows.reshape(r, mc * probe, 2)
+        # forced dense terminator in the last slot (was sel[:, -1] = s-1)
+        z_vals = rows[..., 0].at[:, -1].set(z_vals[0, s - 1])
+        dists = rows[..., 1].at[:, -1].set(dists[0, s - 1])
         pts_sel = contract(
             rays_o[:, None, :] + viewdirs[:, None, :] * z_vals[..., None]
         )
