@@ -117,7 +117,7 @@ def _fwd_compute(rows, aux, lines_ref, basis_ref, p_refs, g, tdt, mdt):
 
     Returns (sigma [N] f32, rgb [N, 3] f32, saved intermediates)."""
     sigma = jnp.zeros((aux.shape[0],), jnp.float32)
-    feats, lerp_saved, line_saved = [], [], []
+    feats, lerp_saved = [], []
     for i in range(3):
         wx = aux[:, 2 * i : 2 * i + 1].astype(tdt)
         wy = aux[:, 2 * i + 1 : 2 * i + 2].astype(tdt)
@@ -260,7 +260,7 @@ def _pad_p(x, tile: int = TILE_P):
     return x
 
 
-def _specs(p_tiles, g, tdt, n_rows_specs=3, tile: int = TILE_P):
+def _specs(g, n_rows_specs=3, tile: int = TILE_P):
     row_spec = pl.BlockSpec(
         (tile, 4 * C), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -314,7 +314,7 @@ def _march_fwd_impl(rows0, rows1, rows2, aux, lines, basis, w1, b1, w2, b2, w3b3
     pp = rows0p.shape[0]
     p_tiles = pp // tile
     w3, b3 = _split_w3(w3b3)
-    in_specs, _, aux_spec, full = _specs(p_tiles, g, tdt, tile=tile)
+    in_specs, _, _, _ = _specs(g, tile=tile)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, g=g, tdt=tdt, mdt=mdt),
         grid=(p_tiles,),
@@ -348,7 +348,7 @@ def _march_bwd(mdt_name, res, gout):
     pp = rows0p.shape[0]
     p_tiles = pp // tile
     w3, b3 = _split_w3(w3b3)
-    in_specs, row_spec, aux_spec, full = _specs(p_tiles, g, tdt, tile=tile)
+    in_specs, row_spec, aux_spec, full = _specs(g, tile=tile)
     in_specs = in_specs + [
         pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ]
