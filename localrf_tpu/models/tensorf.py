@@ -697,22 +697,48 @@ def upsample_tensorf(params, cfg: TensorfConfig, new_grid) -> tuple[dict, Tensor
 # ----------------------------- alpha mask -----------------------------
 
 
+# one alpha-lattice slab per sequential step above this many total points:
+# an unchunked 640^3 eval materializes a [262M, 128] gather intermediate
+# (~67 GB) and OOMs — found by the round-4 full-scale parity run. The
+# reference evaluates its dense alpha plane-by-plane for the same reason
+# (ref: models/tensorBase.py:501-515 loops over gridSize[2]).
+_DENSE_ALPHA_CHUNK_PTS = 2_097_152
+
+
 def compute_dense_alpha(params, cfg: TensorfConfig, grid_size) -> jax.Array:
     """Dense alpha at `grid_size` lattice points over the aabb
-    (ref: models/tensorBase.py:501-515). Returns [gx, gy, gz]."""
+    (ref: models/tensorBase.py:501-515). Returns [gx, gy, gz].
+
+    Evaluated in x-slabs via a sequential lax.map once the lattice exceeds
+    _DENSE_ALPHA_CHUNK_PTS, bounding the gather working set to one slab."""
     gx, gy, gz = (int(v) for v in grid_size)
     xs = jnp.linspace(0.0, 1.0, gx)
     ys = jnp.linspace(0.0, 1.0, gy)
     zs = jnp.linspace(0.0, 1.0, gz)
-    grid = jnp.stack(jnp.meshgrid(xs, ys, zs, indexing="ij"), axis=-1)
     aabb = jnp.asarray(cfg.aabb)
-    pts = aabb[0] * (1.0 - grid) + aabb[1] * grid  # [gx, gy, gz, 3]
-    pts_flat = normalize_coord(pts.reshape(-1, 3), cfg)
     quad = build_quad_views(params, cfg, kinds=("density",)) if cfg.fast_gather else None
-    feat = compute_density_feature(params, pts_flat, cfg, quad)
-    sigma = feature2density(feat, cfg)
-    alpha = 1.0 - jnp.exp(-sigma * cfg.step_size)
-    return alpha.reshape(gx, gy, gz)
+
+    def eval_pts(grid01):
+        pts = aabb[0] * (1.0 - grid01) + aabb[1] * grid01
+        pts_flat = normalize_coord(pts.reshape(-1, 3), cfg)
+        feat = compute_density_feature(params, pts_flat, cfg, quad)
+        sigma = feature2density(feat, cfg)
+        return 1.0 - jnp.exp(-sigma * cfg.step_size)
+
+    if gx * gy * gz <= _DENSE_ALPHA_CHUNK_PTS:
+        grid = jnp.stack(jnp.meshgrid(xs, ys, zs, indexing="ij"), axis=-1)
+        return eval_pts(grid).reshape(gx, gy, gz)
+
+    gyz = jnp.stack(jnp.meshgrid(ys, zs, indexing="ij"), axis=-1)  # [gy,gz,2]
+
+    def slab(x):
+        grid = jnp.concatenate(
+            [jnp.broadcast_to(x, (gy, gz))[..., None], gyz], axis=-1
+        )
+        return eval_pts(grid)
+
+    alphas = jax.lax.map(slab, xs)  # [gx, gy*gz]
+    return alphas.reshape(gx, gy, gz)
 
 
 def update_alpha_volume(params, cfg: TensorfConfig, grid_size) -> jax.Array:

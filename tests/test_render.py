@@ -240,3 +240,28 @@ def test_rgb_shading_mode(rays):
         is_train=False, white_bg=True, n_samples=48,
     )
     assert np.all(np.isfinite(np.asarray(rgb)))
+
+
+def test_dense_alpha_slab_path_bit_exact():
+    """The slab-chunked dense alpha eval (round 4: an unchunked 640^3
+    lattice OOMs — found by the full-scale parity run) must be bit-exact
+    vs the all-at-once path."""
+    import jax
+
+    import localrf_tpu.models.tensorf as tf_mod
+    from localrf_tpu.models.tensorf import (
+        TensorfConfig,
+        compute_dense_alpha,
+        init_tensorf,
+    )
+
+    cfg = TensorfConfig(grid_size=(24, 24, 24))
+    params = init_tensorf(jax.random.PRNGKey(0), cfg)
+    a0 = compute_dense_alpha(params, cfg, (24, 20, 22))
+    orig = tf_mod._DENSE_ALPHA_CHUNK_PTS
+    tf_mod._DENSE_ALPHA_CHUNK_PTS = 100
+    try:
+        a1 = compute_dense_alpha(params, cfg, (24, 20, 22))
+    finally:
+        tf_mod._DENSE_ALPHA_CHUNK_PTS = orig
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
