@@ -130,11 +130,19 @@ def render_rays(
         # bit-identical values. Rows past S-1 replicate the terminator row,
         # exactly matching the old per-sample clamp min(sel, s-1).
         zd = jnp.stack([z_vals[0], dists[0]], axis=-1)  # [S, 2]
-        pad_rows = sc * probe - s
-        if pad_rows > 0:
+        target = sc * probe
+        if target > s:
+            # pad with the terminator row — matches the old per-sample
+            # clamp min(sel, s-1)
             zd = jnp.concatenate(
-                [zd, jnp.broadcast_to(zd[s - 1 : s], (pad_rows, 2))]
+                [zd, jnp.broadcast_to(zd[s - 1 : s], (target - s, 2))]
             )
+        elif target < s:
+            # probe-stride slicing can leave a sub-group tail (e.g. S=738,
+            # probe=4 -> sc=184 covers samples 0..735): those tail samples
+            # were unreachable in the old path too (max sel = sc*probe-1),
+            # except the forced terminator slot handled below
+            zd = zd[:target]
         zd_packed = zd.reshape(sc, probe * 2)
         rows = zd_packed.at[sel_c].get(mode="promise_in_bounds")  # [R, mc, 2p]
         rows = rows.reshape(r, mc * probe, 2)
