@@ -35,6 +35,10 @@ VARIANTS = [
     # round-4: forward-fused gathers, per-segment backwards
     ("fwdfused", {"fused_fwd_gather": 1}),
     ("fwdfused_lines", {"fused_fwd_gather": 2}),
+    # round-4: binned-scatter row threshold (255^2 = 65,025 sits just below
+    # the r3 default 65,536, leaving that stage on the 17 ns/idx emitter)
+    ("binned25k", {"binned_min_rows": 25000}),
+    ("binned60k", {"binned_min_rows": 60000}),
 ]
 
 
