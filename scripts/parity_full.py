@@ -201,7 +201,11 @@ def _write_md(res: dict):
 
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
-    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/parity_full"
+    # abspath: the reference stage runs with cwd=/root/reference, so a
+    # relative workdir would resolve against the wrong root
+    work = os.path.abspath(
+        sys.argv[2] if len(sys.argv) > 2 else "/tmp/parity_full"
+    )
     os.makedirs(work, exist_ok=True)
     if stage in ("scene", "all"):
         make_scene(work)
