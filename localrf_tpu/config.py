@@ -157,10 +157,17 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
     )
     parser.add_argument(
         "--binned_scatter", type=int, default=1,
-        help="route large plane-table backward scatters through the binned"
+        help="route plane-table backward scatters through the binned"
         " Pallas kernel (sort + per-tile MXU one-hot matmuls) instead of"
-        " XLA's per-index scatter emitter (in-step win on >=65536-row"
-        " tables, PERF.md); 0 = XLA emitter everywhere",
+        " XLA's per-index scatter emitter (in-step win at every schedule"
+        " stage, PERF.md r4); 0 = XLA emitter everywhere",
+    )
+    parser.add_argument(
+        "--binned_min_rows", type=int, default=2000,
+        help="minimum plane-table row count for the binned scatter kernel"
+        " (below it the XLA emitter is used; the r4 threshold sweep"
+        " measured binned wins down to the 64^3 stage's 4,096-row tables,"
+        " so the default only excludes degenerate tables)",
     )
     parser.add_argument(
         "--matmul_precision", type=str, default="default",

@@ -81,14 +81,17 @@ class TensorfConfig:
     line_bwd: str = "onehot"
     # legacy alias for line_bwd="segsum" (kept for checkpoint kwargs compat)
     matmul_segsum: bool = False
-    # route large plane-table backward scatters through the binned Pallas
-    # kernel (sort + per-tile MXU one-hot matmuls, ops/pallas/
-    # binned_scatter.py) instead of XLA's ~17 ns/index scatter emitter.
-    # Applied only to tables with >= binned_min_rows rows, where the kernel
-    # wins in-step (640^3: 235.0 -> 225.8 ms/it; 404^3: 165.6 -> 156.5,
-    # PERF.md r3) — the default
+    # route plane-table backward scatters through the binned Pallas kernel
+    # (sort + per-tile MXU one-hot matmuls, ops/pallas/binned_scatter.py)
+    # instead of XLA's ~17 ns/index scatter emitter. The r3 default applied
+    # it only >= 65,536 rows (640^3: 235.0 -> 225.8 ms/it; 404^3: 165.6 ->
+    # 156.5); the r4 threshold sweep (scripts/ab_combo.py binned* arms,
+    # PERF.md r4) measured a win at EVERY schedule stage — 64^3 26.1 -> 21.6
+    # ms/it, 101^3 37.5 -> 31.6, 161^3 75.6 -> 65.3, 255^3 122.7 -> 82.1
+    # (1.49x: 255^2 = 65,025 rows sat just under the old bound) — so the
+    # floor now only excludes degenerate tables below one 128-row tile pair.
     binned_scatter: bool = True
-    binned_min_rows: int = 65536
+    binned_min_rows: int = 2000
     # gather the 3 plane tables' rows in ONE dispatch over a row-concatenated
     # table (and ONE backward scatter). The isolated-roofline amortization
     # argument (4.1 -> 2.6 ns/idx with index count) does NOT survive in-step

@@ -226,6 +226,7 @@ def _make_model(args, train_dataset) -> LocalTensorfs:
         app_top_k=getattr(args, "app_top_k", 128),
         pallas_composite=bool(getattr(args, "use_pallas", 0)),
         binned_scatter=bool(getattr(args, "binned_scatter", 0)),
+        binned_min_rows=int(getattr(args, "binned_min_rows", 2000)),
         fused_plane_gather=bool(getattr(args, "fused_plane_gather", 0)),
         fused_line_gather=bool(getattr(args, "fused_line_gather", 0)),
         line_bwd=getattr(args, "line_bwd", "gather"),

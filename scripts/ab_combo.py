@@ -35,10 +35,14 @@ VARIANTS = [
     # round-4: forward-fused gathers, per-segment backwards
     ("fwdfused", {"fused_fwd_gather": 1}),
     ("fwdfused_lines", {"fused_fwd_gather": 2}),
-    # round-4: binned-scatter row threshold (255^2 = 65,025 sits just below
-    # the r3 default 65,536, leaving that stage on the 17 ns/idx emitter)
+    # round-4: binned-scatter row threshold sweep (decided: binned wins at
+    # every schedule stage — default is now 2000). binned65k is the r3
+    # default kept as the negative arm; the finer arms remain for re-sweeps.
+    ("binned65k", {"binned_min_rows": 65536}),
     ("binned25k", {"binned_min_rows": 25000}),
     ("binned60k", {"binned_min_rows": 60000}),
+    ("binned8k", {"binned_min_rows": 8000}),    # 101^3 planes = 10,201 rows
+    ("binned2k", {"binned_min_rows": 2000}),    # 64^3 planes = 4,096 rows
 ]
 
 
