@@ -61,7 +61,7 @@ def main():
     # rank op instances by a rough byte count of their result shape
     pat = re.compile(
         r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:[a-z0-9]+)\[[^\]]*\][^ ]*)\s+"
-        r"(" + "|".join(want) + r")\(",
+        r"(" + "|".join(re.escape(w) for w in want) + r")\(",
         re.M,
     )
     dtype_bytes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,

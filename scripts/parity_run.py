@@ -101,7 +101,17 @@ def gauge_aligned_err(t_a: np.ndarray, t_b: np.ndarray) -> float:
 def test_view_metrics(logdir: str, scene: str):
     import cv2
 
-    from localrf_tpu.utils.metrics import rgb_lpips, rgb_psnr, rgb_ssim
+    from localrf_tpu.utils.metrics import (
+        lpips_backbone,
+        rgb_lpips,
+        rgb_psnr,
+        rgb_ssim,
+    )
+
+    # same key discipline as renderer.py:197-207: a random-init backbone's
+    # LPIPS is self-consistent (fine for same-backbone A/B deltas) but NOT a
+    # publishable LPIPS number — never report it under the plain "lpips" key
+    lpips_key = "lpips" if lpips_backbone() == "pretrained" else "lpips_randinit"
 
     test_dir = os.path.join(logdir, "test", "rgb_maps")
     if not os.path.isdir(test_dir):
@@ -121,7 +131,8 @@ def test_view_metrics(logdir: str, scene: str):
         out[fbase] = {
             "psnr": rgb_psnr(gt, im),
             "ssim": rgb_ssim(gt, im, 1.0),
-            "lpips": rgb_lpips(gt.astype(np.float32), im.astype(np.float32)),
+            lpips_key: rgb_lpips(gt.astype(np.float32), im.astype(np.float32)),
+            "lpips_backbone": lpips_backbone(),
         }
     return out
 
