@@ -21,7 +21,121 @@ FOV = 60.0
 STEP_X = 0.05
 
 
-def build_scene(n_frames: int = N_FRAMES, fov: float = FOV, wh=None):
+def _tex3(p, seed: int, octaves: int = 5, base_freq: float = 2.0):
+    """Procedural world-space RGB texture in [0,1]: sum of random-direction
+    sinusoid octaves. View-consistent by construction (a pure function of
+    the 3D hit point), high-frequency at the top octaves.
+
+    p: [..., 3] world points. Returns [..., 3]."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros(p.shape[:-1] + (3,), np.float32)
+    amp_total = 0.0
+    for k in range(octaves):
+        freq = base_freq * (2.0 ** k)
+        amp = 0.6 ** k
+        for c in range(3):
+            u = rng.normal(size=3)
+            u = (u / np.linalg.norm(u) * freq).astype(np.float32)
+            phase = rng.uniform(0, 2 * np.pi)
+            out[..., c] += amp * np.sin(p @ u + phase, dtype=np.float32)
+        amp_total += amp
+    return (out / amp_total) * 0.5 + 0.5  # [0,1]
+
+
+def _build_analytic_scene(n_frames: int, fov: float, wh):
+    """Analytic ray-traced GT: textured ground plane + back wall + spheres.
+
+    The round-4 full-scale A/B saturated PSNR/SSIM (47-62 dB / 0.999 on
+    both sides) because the TensoRF-sampled GT was near-uniform fog (sigma
+    std ~0.003 -> compositing averages away all appearance variation).
+    This scene has real SURFACES with high-frequency world-space texture,
+    landing trained runs in the discriminating 25-35 dB regime of the
+    reference's actual operating point (ref scripts/train_all.sh hike
+    scenes). Exact depth comes from the intersections; exact reprojection
+    flow from depth + relative pose (same convention as the field path).
+    Camera convention matches ops/rays.get_ray_directions_lean:
+    dirs_cam = [(i-cx)/f, -(j-cy)/f, -1], world = R @ dirs + t, R = I.
+    """
+    W, H = wh
+    focal = W / (2 * np.tan(np.radians(fov) / 2))
+    ii, jj = np.meshgrid(
+        np.arange(W, dtype=np.float32) + 0.5,
+        np.arange(H, dtype=np.float32) + 0.5,
+    )
+    dirs = np.stack(
+        [(ii - W / 2) / focal, -(jj - H / 2) / focal, -np.ones_like(ii)], -1
+    )  # [H, W, 3] camera==world direction (R = I)
+
+    # geometry (world): ground plane y=-1.2, back wall z=-7, spheres spread
+    # along +x so they stay in frame across the whole track
+    spheres = [
+        (np.array([-0.6, -0.55, -2.6], np.float32), 0.45, 11),
+        (np.array([0.45, -0.25, -3.4], np.float32), 0.6, 12),
+        (np.array([1.6, 0.25, -5.0], np.float32), 0.9, 13),
+        (np.array([2.6, -0.6, -3.0], np.float32), 0.5, 14),
+        (np.array([3.4, 0.1, -4.2], np.float32), 0.7, 15),
+    ]
+    light = np.array([0.35, 0.8, 0.49], np.float32)
+    light /= np.linalg.norm(light)
+
+    imgs, depths = [], []
+    for f in range(n_frames):
+        o = np.array([STEP_X * f, 0.0, 0.0], np.float32)
+        t_hit = np.full((H, W), 1e9, np.float32)
+        rgb = np.zeros((H, W, 3), np.float32)
+        shade = np.ones((H, W), np.float32)
+        tex_seed = np.zeros((H, W), np.int64)
+
+        # back wall z = -7 (always hit: dir_z = -1)
+        t_w = (-7.0 - o[2]) / dirs[..., 2]
+        hit = t_w < t_hit
+        t_hit = np.where(hit, t_w, t_hit)
+        tex_seed = np.where(hit, 1, tex_seed)
+        shade = np.where(hit, 0.85, shade)
+
+        # ground plane y = -1.2
+        dy = dirs[..., 1]
+        with np.errstate(divide="ignore"):
+            t_g = (-1.2 - o[1]) / dy
+        ok = (dy < -1e-6) & (t_g > 0) & (t_g < t_hit)
+        t_hit = np.where(ok, t_g, t_hit)
+        tex_seed = np.where(ok, 2, tex_seed)
+        shade = np.where(ok, 1.0, shade)
+
+        for center_s, r, seed in spheres:
+            oc = o - center_s
+            b = np.einsum("hwc,c->hw", dirs, oc)
+            a = np.einsum("hwc,hwc->hw", dirs, dirs)
+            disc = b * b - a * (oc @ oc - r * r)
+            with np.errstate(invalid="ignore"):
+                t_s = (-b - np.sqrt(np.maximum(disc, 0.0))) / a
+            ok = (disc > 0) & (t_s > 1e-3) & (t_s < t_hit)
+            t_hit = np.where(ok, t_s, t_hit)
+            tex_seed = np.where(ok, seed, tex_seed)
+            # lambertian shading from the sphere normal (geometry cue)
+            pts_s = o + dirs * t_s[..., None]
+            nrm = pts_s - center_s
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
+            lam = 0.35 + 0.65 * np.maximum(nrm @ light, 0.0)
+            shade = np.where(ok, lam.astype(np.float32), shade)
+
+        pts = o + dirs * t_hit[..., None]
+        for seed in np.unique(tex_seed):
+            m = tex_seed == seed
+            rgb[m] = _tex3(pts[m], int(seed))
+        rgb *= shade[..., None]
+        # depth convention: pts_cam = dirs_cam * depth (z of hit = -depth)
+        imgs.append(np.clip(rgb, 0.0, 1.0))
+        depths.append(t_hit)
+    return np.stack(imgs), np.stack(depths)
+
+
+def build_scene(
+    n_frames: int = N_FRAMES,
+    fov: float = FOV,
+    wh=None,
+    texture: bool = False,
+):
     import jax
     import jax.numpy as jnp
 
@@ -31,17 +145,18 @@ def build_scene(n_frames: int = N_FRAMES, fov: float = FOV, wh=None):
     from localrf_tpu.ops.rays import get_ray_directions_lean, ids2pixel
 
     W, H = wh if wh is not None else (globals()["W"], globals()["H"])
-    cfg = TensorfConfig(grid_size=(24, 24, 24), density_shift=-3.0)
-    params = init_tensorf(jax.random.PRNGKey(7), cfg)
-    for i in range(3):
-        p = params[f"density_plane_{i}"]
-        for ax in (1, 2):
-            p = (jnp.roll(p, 1, ax) + p + jnp.roll(p, -1, ax)) / 3.0
-        params[f"density_plane_{i}"] = p * 6.0
-        a = params[f"app_plane_{i}"]
-        for ax in (1, 2):
-            a = (jnp.roll(a, 1, ax) + a + jnp.roll(a, -1, ax)) / 3.0
-        params[f"app_plane_{i}"] = a * 3.0
+    if not texture:
+        cfg = TensorfConfig(grid_size=(24, 24, 24), density_shift=-3.0)
+        params = init_tensorf(jax.random.PRNGKey(7), cfg)
+        for i in range(3):
+            p = params[f"density_plane_{i}"]
+            for ax in (1, 2):
+                p = (jnp.roll(p, 1, ax) + p + jnp.roll(p, -1, ax)) / 3.0
+            params[f"density_plane_{i}"] = p * 6.0
+            a = params[f"app_plane_{i}"]
+            for ax in (1, 2):
+                a = (jnp.roll(a, 1, ax) + a + jnp.roll(a, -1, ax)) / 3.0
+            params[f"app_plane_{i}"] = a * 3.0
 
     focal = W / (2 * np.tan(np.radians(fov) / 2))
     center = np.array([W / 2, H / 2], np.float32)
@@ -57,21 +172,24 @@ def build_scene(n_frames: int = N_FRAMES, fov: float = FOV, wh=None):
         ]
     )
 
-    imgs, depths = [], []
-    chunk = 65536
-    for i in range(n_frames):
-        rgbs, deps = [], []
-        for c0 in range(0, W * H, chunk):
-            rgb, depth, _, _ = render_chunk(
-                params, cfg, ray_ids[c0 : c0 + chunk], jnp.asarray(c2ws[i][None]),
-                jnp.asarray(focal, jnp.float32), jnp.asarray(center), w=W, h=H,
-            )
-            rgbs.append(np.asarray(rgb))
-            deps.append(np.asarray(depth))
-        imgs.append(np.concatenate(rgbs).reshape(H, W, 3))
-        depths.append(np.concatenate(deps).reshape(H, W))
-    imgs = np.stack(imgs)
-    depths = np.stack(depths)
+    if texture:
+        imgs, depths = _build_analytic_scene(n_frames, fov, (W, H))
+    else:
+        imgs, depths = [], []
+        chunk = 65536
+        for i in range(n_frames):
+            rgbs, deps = [], []
+            for c0 in range(0, W * H, chunk):
+                rgb, depth, _, _ = render_chunk(
+                    params, cfg, ray_ids[c0 : c0 + chunk], jnp.asarray(c2ws[i][None]),
+                    jnp.asarray(focal, jnp.float32), jnp.asarray(center), w=W, h=H,
+                )
+                rgbs.append(np.asarray(rgb))
+                deps.append(np.asarray(depth))
+            imgs.append(np.concatenate(rgbs).reshape(H, W, 3))
+            depths.append(np.concatenate(deps).reshape(H, W))
+        imgs = np.stack(imgs)
+        depths = np.stack(depths)
 
     # exact reprojection flow from depth + relative poses
     i_px, j_px = ids2pixel(W, H, ray_ids)
@@ -101,17 +219,42 @@ def write_scene(
     fov: float = FOV,
     exposure_jitter: float = 0.0,
     wh=None,
+    texture: bool = False,
+    flow_noise_px: float = 0.0,
+    depth_noise: float = 0.0,
 ):
     """exposure_jitter > 0 scales frame i's pixels by a deterministic gain
     in [1-j, 1+j] (exercises the exposure-compensation path); fov sets the
     TRUE rendering fov — pass the trainers a different --fov to make
-    intrinsics optimization do real work (VERDICT r2 #4)."""
+    intrinsics optimization do real work (VERDICT r2 #4).
+
+    texture=True renders the high-frequency GT field (see build_scene);
+    flow_noise_px / depth_noise add deterministic Gaussian error to the
+    flow (px) and inverse depth (relative) supervision, approximating
+    RAFT/DPT error statistics so the parity operating point is not
+    noise-free (VERDICT r4 item 3)."""
     import cv2
 
     from localrf_tpu.data.flow_io import encode_flow
 
     W, H = wh if wh is not None else (globals()["W"], globals()["H"])
-    imgs, depths, fwd_flow, bwd_flow = build_scene(n_frames, fov, wh=(W, H))
+    imgs, depths, fwd_flow, bwd_flow = build_scene(
+        n_frames, fov, wh=(W, H), texture=texture
+    )
+    if flow_noise_px > 0 or depth_noise > 0:
+        nrng = np.random.default_rng(20211202)
+        if flow_noise_px > 0:
+            fwd_flow = fwd_flow + nrng.normal(0, flow_noise_px, fwd_flow.shape)
+            bwd_flow = bwd_flow + nrng.normal(0, flow_noise_px, bwd_flow.shape)
+        if depth_noise > 0:
+            # multiplicative error on inverse depth (DPT-like: relative,
+            # scale/shift ambiguity already handled by the loss)
+            depths = depths / np.clip(
+                1.0 + nrng.normal(0, depth_noise, depths.shape), 0.5, 2.0
+            )
+        fwd_flow = fwd_flow.astype(np.float32)
+        bwd_flow = bwd_flow.astype(np.float32)
+        depths = depths.astype(np.float32)
     if exposure_jitter > 0:
         gains = 1.0 + exposure_jitter * np.sin(
             1.0 + 2.399963 * np.arange(n_frames)  # golden-angle walk, det.

@@ -59,6 +59,37 @@ SHARED_FLAGS = [
 ]
 
 
+# ---- v2 (round 5, VERDICT r4 items 2+3) -----------------------------------
+# The v1 scene saturated every metric (47-62 dB PSNR / 0.999 SSIM both
+# sides: near-texture-free GT) and spawned only 1 RF (estimated drift
+# peaked ~0.146 under monocular scale shrink, never reaching
+# max_drift=0.28). v2 fixes both:
+#   - scene: analytic ray-traced surfaces with high-frequency world-space
+#     texture + Gaussian flow/depth supervision noise (RAFT/DPT-like),
+#     landing the trained operating point in the discriminating 25-35 dB
+#     regime (make_parity_scene._build_analytic_scene);
+#   - spawns: max_drift 0.08 (below the measured estimated-drift peak) AND
+#     an n_max_frames=14 backstop — the backstop is frame-count-based, so
+#     >=2 RFs are guaranteed on BOTH sides regardless of estimated scale
+#     (ref: train.py:441-474 `n_frames >= n_max_frames` branch).
+# An extra `ours2_f32` arm (f32 gather tables + f32 MLP + highest matmul
+# precision) attributes any PSNR delta to table/matmul precision.
+V2_SCENE = dict(texture=True, flow_noise_px=1.0, depth_noise=0.05)
+V2_FLAG_OVERRIDES = {"--max_drift": "0.08", "--n_max_frames": "14"}
+F32_ARM_FLAGS = [
+    "--gather_dtype", "float32",
+    "--mlp_dtype", "float32",
+    "--matmul_precision", "highest",
+]
+
+
+def v2_flags() -> list[str]:
+    flags = list(SHARED_FLAGS)
+    for k, v in V2_FLAG_OVERRIDES.items():
+        flags[flags.index(k) + 1] = v
+    return flags
+
+
 def _stream_run(cmd, cwd, env, log_path, timeout_s):
     t0 = time.time()
     with open(log_path, "a", buffering=1) as logf:
@@ -72,7 +103,7 @@ def _stream_run(cmd, cwd, env, log_path, timeout_s):
     return dt
 
 
-def make_scene(work: str):
+def make_scene(work: str, scene_kwargs: dict | None = None):
     scene = os.path.join(work, "scene")
     if os.path.isdir(os.path.join(scene, "images")):
         print("scene exists", flush=True)
@@ -80,11 +111,13 @@ def make_scene(work: str):
     from make_parity_scene import write_scene
 
     os.makedirs(work, exist_ok=True)
-    write_scene(scene, n_frames=N_FRAMES, fov=FOV, wh=(W, H))
+    write_scene(
+        scene, n_frames=N_FRAMES, fov=FOV, wh=(W, H), **(scene_kwargs or {})
+    )
     return scene
 
 
-def run_reference(work: str, timeout_s: int | None = None):
+def run_reference(work: str, timeout_s: int | None = None, flags=None):
     if timeout_s is None:
         timeout_s = int(os.environ.get("PARITY_FULL_REF_TIMEOUT", 9 * 3600))
     scene = os.path.join(work, "scene")
@@ -98,27 +131,32 @@ def run_reference(work: str, timeout_s: int | None = None):
         "nice", "-n", "19",
         sys.executable, os.path.join(REPO, "scripts", "run_reference.py"),
         "--datadir", scene, "--logdir", logdir, "--device", "cpu",
-    ] + SHARED_FLAGS
+    ] + (SHARED_FLAGS if flags is None else flags)
     dt = _stream_run(cmd, REF, env, os.path.join(work, "ref.log"), timeout_s)
     print(f"reference done in {dt:.0f}s", flush=True)
     return dt
 
 
-def run_ours(work: str, timeout_s: int = 4 * 3600):
+def run_ours(
+    work: str, timeout_s: int = 4 * 3600, flags=None, arm: str = "our",
+    extra_flags=(),
+):
     scene = os.path.join(work, "scene")
-    logdir = os.path.join(work, "our_log")
+    logdir = os.path.join(work, f"{arm}_log")
     cmd = [
         sys.executable, "-m", "localrf_tpu.train",
         "--datadir", scene, "--logdir", logdir,
-    ] + SHARED_FLAGS  # production defaults otherwise (scan_chunk 16 etc.)
+    ] + (SHARED_FLAGS if flags is None else flags) + list(extra_flags)
+    # production defaults otherwise (scan_chunk 16 etc.)
     dt = _stream_run(
-        cmd, REPO, dict(os.environ), os.path.join(work, "ours.log"), timeout_s
+        cmd, REPO, dict(os.environ), os.path.join(work, f"{arm}s.log"),
+        timeout_s,
     )
-    print(f"ours done in {dt:.0f}s", flush=True)
+    print(f"{arm} done in {dt:.0f}s", flush=True)
     return dt
 
 
-def report(work: str):
+def report(work: str, variant: int = 1):
     import parity_hard as ph
     import parity_run as pr
 
@@ -132,9 +170,10 @@ def report(work: str):
     ref_t, our_t = ref_c2w[:n, :3, 3], our_c2w[:n, :3, 3]
     span = float(np.linalg.norm(gt_t[n - 1] - gt_t[0]))
     res = {
+        "variant": variant,
         "scale": {"W": W, "H": H, "n_frames": N_FRAMES,
                   "voxels": "64^3 -> 640^3 (full default ladder)",
-                  "flags": SHARED_FLAGS},
+                  "flags": SHARED_FLAGS if variant == 1 else v2_flags()},
         "n_rfs_ref": ph.count_ref_rfs(ref_log),
         "n_rfs_ours": ph.count_our_rfs(our_log),
         "pose_rmse_ref_vs_gt": pr.gauge_aligned_err(ref_t, gt_t[:n]),
@@ -146,6 +185,15 @@ def report(work: str):
         "ref_metrics": pr.test_view_metrics(ref_log, scene),
         "our_metrics": pr.test_view_metrics(our_log, scene),
     }
+    f32_log = os.path.join(work, "our_f32_log")
+    if os.path.isdir(f32_log):
+        f32_c2w, f32_focal = pr.load_poses(f32_log)
+        res["n_rfs_ours_f32"] = ph.count_our_rfs(f32_log)
+        res["f32_focal"] = f32_focal
+        res["pose_rmse_ours_f32_vs_gt"] = pr.gauge_aligned_err(
+            f32_c2w[:n, :3, 3], gt_t[:n]
+        )
+        res["our_f32_metrics"] = pr.test_view_metrics(f32_log, scene)
     res["pose_ours_vs_ref_pct_of_span"] = (
         100.0 * res["pose_rmse_ours_vs_ref"] / span
     )
@@ -158,32 +206,63 @@ def report(work: str):
 
 
 def _write_md(res: dict):
+    v2 = res.get("variant", 1) == 2
+    has_f32 = "our_f32_metrics" in res
+    scene_line = (
+        "Scene: ANALYTIC ray-traced surfaces (textured ground plane + back"
+        " wall + 5 spheres, high-frequency world-space procedural texture),"
+        f" {res['scale']['W']}x{res['scale']['H']},"
+        f" {res['scale']['n_frames']} frames; exact reprojection flow +"
+        " intersection depth, with Gaussian supervision noise (flow sigma"
+        " 1 px, inverse-depth 5% — RAFT/DPT-like error statistics)."
+        " Non-saturating by design: see 'operating point' below"
+        " (scripts/make_parity_scene.py::_build_analytic_scene)."
+        if v2
+        else "Scene: synthetic geometric scene,"
+        f" {res['scale']['W']}x{res['scale']['H']},"
+        f" {res['scale']['n_frames']} frames, exact reprojection flow +"
+        " rendered depth (scripts/make_parity_scene.py)."
+    )
     lines = [
-        "# PARITY_FULL — full-scale A/B (ours on TPU vs reference on CPU)",
+        "# PARITY_FULL — full-scale A/B (ours on TPU vs reference on CPU)"
+        + (" — v2" if v2 else ""),
         "",
-        f"Scene: synthetic geometric scene, {res['scale']['W']}x"
-        f"{res['scale']['H']}, {res['scale']['n_frames']} frames, exact"
-        " reprojection flow + rendered depth (scripts/make_parity_scene.py).",
+        scene_line,
         f"Voxel schedule: {res['scale']['voxels']}; both sides run the"
         " reference's own speedup flags (x2 refinement, x2 progressive) and"
         " batch 512; ours uses production TPU defaults otherwise"
         " (bf16 tables/MLP, occ compaction + probe, binned/onehot scatters,"
-        " scan_chunk 16).",
+        " scan_chunk 16)."
+        + (
+            " v2 spawn config: max_drift 0.08 + n_max_frames 14 backstop"
+            " -> >=2 RFs guaranteed on both sides (VERDICT r4 missing #1)."
+            if v2
+            else ""
+        ),
         "",
-        "| metric | reference (torch CPU) | ours (localrf_tpu) |",
-        "|---|---|---|",
-        f"| RF count | {res['n_rfs_ref']} | {res['n_rfs_ours']} |",
+        "| metric | reference (torch CPU) | ours (localrf_tpu) |"
+        + (" ours f32 tables |" if has_f32 else ""),
+        "|---|---|---|" + ("---|" if has_f32 else ""),
+        f"| RF count | {res['n_rfs_ref']} | {res['n_rfs_ours']} |"
+        + (f" {res['n_rfs_ours_f32']} |" if has_f32 else ""),
         f"| pose RMSE vs GT (gauge-aligned) | {res['pose_rmse_ref_vs_gt']:.5f}"
-        f" | {res['pose_rmse_ours_vs_gt']:.5f} |",
-        f"| focal estimate | {res['ref_focal']:.2f} | {res['our_focal']:.2f} |",
+        f" | {res['pose_rmse_ours_vs_gt']:.5f} |"
+        + (f" {res['pose_rmse_ours_f32_vs_gt']:.5f} |" if has_f32 else ""),
+        f"| focal estimate | {res['ref_focal']:.2f} | {res['our_focal']:.2f} |"
+        + (f" {res['f32_focal']:.2f} |" if has_f32 else ""),
     ]
     ref_m, our_m = res["ref_metrics"], res["our_metrics"]
+    f32_m = res.get("our_f32_metrics", {})
     for fb in sorted(set(ref_m) & set(our_m)):
         r, o = ref_m[fb], our_m[fb]
-        lines.append(
+        row = (
             f"| test {fb} PSNR / SSIM | {r['psnr']:.2f} / {r['ssim']:.4f}"
             f" | {o['psnr']:.2f} / {o['ssim']:.4f} |"
         )
+        if has_f32 and fb in f32_m:
+            g = f32_m[fb]
+            row += f" {g['psnr']:.2f} / {g['ssim']:.4f} |"
+        lines.append(row)
     lines += [
         "",
         f"ours-vs-reference pose track RMSE ="
@@ -192,7 +271,8 @@ def _write_md(res: dict):
         f" {res['track_span']:.2f} track span).",
         "",
         "Full numbers: `parity_full_results.json` in the workdir;"
-        " run logs `ref.log` / `ours.log`.",
+        " run logs `ref.log` / `ours.log`"
+        + (" / `our_f32s.log`." if has_f32 else "."),
     ]
     with open(os.path.join(REPO, "PARITY_FULL.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -215,6 +295,19 @@ def main():
         run_ours(work)
     if stage in ("report", "all"):
         report(work)
+    # v2 stages (round 5): textured analytic scene, >=2 guaranteed spawns,
+    # f32 precision-attribution arm
+    if stage in ("scene2", "all2"):
+        make_scene(work, V2_SCENE)
+    if stage in ("ref2", "all2"):
+        run_reference(work, flags=v2_flags())
+    if stage in ("ours2", "all2"):
+        run_ours(work, flags=v2_flags())
+    if stage in ("ours2_f32", "all2"):
+        run_ours(work, flags=v2_flags(), arm="our_f32",
+                 extra_flags=F32_ARM_FLAGS)
+    if stage in ("report2", "all2"):
+        report(work, variant=2)
 
 
 if __name__ == "__main__":
