@@ -275,9 +275,12 @@ def config_parser(cmd: str | list[str] | None = None) -> argparse.Namespace:
         " exact path whenever no occupied group is truncated)",
     )
     parser.add_argument(
-        "--pixel_pool", type=int, default=0,
+        "--pixel_pool", type=int, default=1,
         help="keep the active window's pixel data device-resident and gather"
-        " training batches on device (host ships only sample indices)",
+        " training batches on device (host ships only sample indices)."
+        " Default 1 since r5: every driver-level benchmark (bench_driver,"
+        " PERF.md host-overhead table) measures this path; 0 restores the"
+        " host-shipped batch values (~3.5 MB/step at batch 4096)",
     )
     parser.add_argument(
         "--scan_chunk", type=int, default=16,
