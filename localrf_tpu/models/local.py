@@ -279,7 +279,15 @@ class LocalTensorfs:
             self.blending_weights = np.concatenate(
                 [self.blending_weights, self.blending_weights[-1:, :]], axis=0
             )
-            rf_ind = int(np.nonzero(self.blending_weights[-1, :])[0][0])
+            # threshold, not exact nonzero: the cross-fade ladder is computed
+            # in float and "1 - w" can leave a ~1e-16 residue in the retired
+            # column (torch f32 rounds it to 0, so the reference's exact
+            # nonzero is safe; numpy f64 is not). A residue here linked every
+            # post-spawn frame to RF 0, and _gate() then froze ALL pose
+            # optimization after the first spawn (found by the full-scale
+            # parity A/B: 10x pose RMSE). Ref: local_tensorfs.py:163.
+            w_row = self.blending_weights[-1, :]
+            rf_ind = int(np.nonzero(w_row > 1e-6)[0][0])
             self.pose_linked_rf.append(rf_ind)
 
         exp = np.eye(3, dtype=np.float32)[None]
@@ -313,7 +321,14 @@ class LocalTensorfs:
             n_overlap = min(
                 n_added_frames, self.cfg.n_overlap, self.blending_weights.shape[0] - 1
             )
-            weights_overlap = 1 / n_overlap + np.arange(0, 1, 1 / n_overlap)
+            # k/n directly (not 1/n + arange steps): the last weight is then
+            # exactly 1.0 and the retired column's "1 - w" exactly 0.0 for
+            # every n_overlap, incl. non-powers-of-two like the default 6
+            # (ref: local_tensorfs.py:121 computes the same ladder in f32,
+            # where rounding happens to land on 1.0)
+            weights_overlap = (
+                np.arange(1, n_overlap + 1, dtype=np.float64) / n_overlap
+            )
             self.blending_weights[-n_overlap:, -1] = 1 - weights_overlap
             new_col = np.zeros_like(self.blending_weights[:, 0:1])
             new_col[-n_overlap:, 0] = weights_overlap

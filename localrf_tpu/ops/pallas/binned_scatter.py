@@ -208,6 +208,183 @@ def binned_segment_sum(
     return out[:n_rows].astype(out_dtype)
 
 
+# --------------------------------------------------------------------------
+# v2: merged-split single-dispatch binned scatter.
+#
+# v1 handles the gather cliff by recursing over under-cliff point-stream
+# splits, but each split then runs its OWN pallas_call writing a FULL
+# [n_rows, C] f32 partial (4 x 210 MB at the 640^3 plane shape), XLA sums
+# the partials (another 1 GB of traffic), and the caller casts f32->bf16
+# (315 MB more). v2 keeps the per-split sort + under-cliff payload reorder
+# (measured: the sort/gather themselves are NOT the waste — see
+# scripts/binned_breakdown.py) but merges ALL splits into ONE kernel whose
+# schedule walks output tiles in order and, per tile, visits the overlapping
+# sorted chunks of every split before moving on: the tile accumulates in a
+# f32 VMEM scratch and is written to HBM exactly once, in the caller's
+# requested dtype. Eliminates: (splits-1) full-size partial writes, the
+# partial sum, and the astype copy.
+# --------------------------------------------------------------------------
+
+
+def _kernel_v2(
+    # scalar prefetch
+    sched_t_ref, sched_c_ref, sched_w_ref, sched_last_ref,
+    # blocked inputs
+    idx_ref,  # [1, 1, CHUNK] int32 (per-split sorted)
+    g_ref,    # [CHUNK, C] payload (per-split sorted order)
+    out_ref,  # [TILE_ROWS, C] out_dtype — written once per tile
+    acc_ref,  # scratch: [TILE_ROWS, C] f32 VMEM accumulator
+    *,
+    tile_rows: int,
+):
+    s = pl.program_id(0)
+    t = sched_t_ref[s]
+    prev_t = jnp.where(s == 0, -1, sched_t_ref[jnp.maximum(s - 1, 0)])
+
+    @pl.when(t != prev_t)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    chunk = idx_ref.shape[-1]
+    local = idx_ref[0] - t * tile_rows  # [1, CHUNK]
+    valid = (local >= 0) & (local < tile_rows)
+    valid &= sched_w_ref[s] > 0  # kill padding steps (see v1)
+    local = jnp.where(valid, local, -1)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0) == local
+    ).astype(g_ref.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        onehot,
+        g_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # last step of this tile: emit in the output dtype (the only HBM write)
+    @pl.when(sched_last_ref[s] > 0)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def binned_segment_sum_merged(
+    idx: jax.Array,
+    g: jax.Array,
+    n_rows: int,
+    *,
+    tile_rows: int = TILE_ROWS,
+    chunk: int = CHUNK,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """v2 of `binned_segment_sum`: same result, one pallas_call for all
+    cliff splits, output written once per tile in `out_dtype`."""
+    p, c = g.shape
+    assert chunk % 128 == 0 and chunk > 0
+    assert tile_rows % 8 == 0 and tile_rows > 0
+
+    max_rows = max(chunk, SPLIT_MAX_BYTES // max(1, c * g.dtype.itemsize))
+    n_splits = -(-p // max_rows) if p > max_rows else 1
+    csize = -(-p // n_splits)
+
+    pad_t = (-n_rows) % tile_rows
+    n_tiles = (n_rows + pad_t) // tile_rows
+
+    sidx_parts, g_parts = [], []
+    # per-split chunk ranges overlapping each tile, as GLOBAL chunk ids
+    ch_s_parts, ch_e_parts = [], []
+    chunk_base = 0
+    for i in range(n_splits):
+        part = idx[i * csize : (i + 1) * csize].astype(jnp.int32)
+        gp = g[i * csize : (i + 1) * csize]
+        ps = part.shape[0]
+        pos = jax.lax.iota(jnp.int32, ps)
+        sorted_idx, order = jax.lax.sort((part, pos), dimension=0, num_keys=1)
+        g_sorted = gp.at[order].get(mode="promise_in_bounds")
+        pad_p = (-ps) % chunk
+        if pad_p:
+            sorted_idx = jnp.concatenate(
+                [sorted_idx, jnp.full((pad_p,), n_rows, jnp.int32)]
+            )
+            g_sorted = jnp.pad(g_sorted, ((0, pad_p), (0, 0)))
+        nc = (ps + pad_p) // chunk
+        bounds = jnp.arange(n_tiles, dtype=jnp.int32) * tile_rows
+        cs = jnp.searchsorted(sorted_idx, bounds, side="left").astype(jnp.int32)
+        ce = jnp.concatenate([cs[1:], jnp.array([ps], jnp.int32)])
+        ch_s_parts.append(chunk_base + cs // chunk)
+        ch_e_parts.append(chunk_base + (ce + chunk - 1) // chunk)
+        sidx_parts.append(sorted_idx)
+        g_parts.append(g_sorted)
+        chunk_base += nc
+
+    nc_total = chunk_base
+    sidx = jnp.concatenate(sidx_parts) if n_splits > 1 else sidx_parts[0]
+    gs = jnp.concatenate(g_parts, axis=0) if n_splits > 1 else g_parts[0]
+
+    # steps for tile t: concatenation of every split's overlapping chunk
+    # range (>=1 dummy step if all empty, so the tile still zero-writes)
+    ch_s = jnp.stack(ch_s_parts, axis=0)  # [S, T]
+    ch_e = jnp.stack(ch_e_parts, axis=0)
+    n_per = jnp.maximum(ch_e - ch_s, 0)   # [S, T]
+    n_t = jnp.maximum(n_per.sum(axis=0), 1)  # [T]
+    s_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_t)[:-1].astype(jnp.int32)]
+    )
+    s_total = s_start[-1] + n_t[-1]
+    s_max = nc_total + n_splits * n_tiles  # static bound on sum(n_t)
+    steps = jnp.arange(s_max, dtype=jnp.int32)
+    sched_t = (
+        jnp.searchsorted(s_start, steps, side="right").astype(jnp.int32) - 1
+    )
+    # offset within the tile's step run -> (split, chunk)
+    off = steps - s_start[sched_t]  # [s_max]
+    per_t = n_per[:, sched_t]  # [S, s_max] chunks per split for this tile
+    cum = jnp.cumsum(per_t, axis=0)  # inclusive
+    # split index: first s with off < cum[s]
+    split_id = jnp.sum((off[None, :] >= cum).astype(jnp.int32), axis=0)
+    split_id = jnp.clip(split_id, 0, n_splits - 1)
+    prev_cum = cum - per_t  # exclusive cumsum
+    off_in_split = off - jnp.take_along_axis(
+        prev_cum, split_id[None, :], axis=0
+    )[0]
+    base = ch_s[split_id, sched_t]
+    sched_c = jnp.clip(base + off_in_split, 0, max(nc_total - 1, 0))
+    sched_w = (steps < s_total).astype(jnp.int32)
+    # padding steps beyond s_total belong to the LAST tile's run; they must
+    # not be marked last (sched_w masks their accumulation, and `last` on
+    # the true final step already emits the tile)
+    nxt = jnp.concatenate([sched_t[1:], jnp.full((1,), -2, jnp.int32)])
+    sched_last = ((nxt != sched_t) | (steps == s_total - 1)) & (
+        steps < s_total
+    )
+    sched_last = sched_last.astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, tile_rows=tile_rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(s_max,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, chunk), lambda s, st, sc, sw, sl: (sc[s], 0, 0)
+                ),
+                pl.BlockSpec(
+                    (chunk, c), lambda s, st, sc, sw, sl: (sc[s], 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_rows, c), lambda s, st, sc, sw, sl: (st[s], 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((tile_rows, c), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows + pad_t, c), out_dtype),
+        interpret=_interpret(),
+    )(
+        sched_t, sched_c, sched_w, sched_last,
+        sidx.reshape(nc_total, 1, chunk),
+        gs,
+    )
+    return out[:n_rows]
+
+
 @jax.custom_vjp
 def take_rows_binned(table: jax.Array, idx: jax.Array) -> jax.Array:
     """Row gather whose backward is the binned sort+MXU scatter-add."""

@@ -134,3 +134,73 @@ def test_binned_segment_sum_split_path(rng):
         )
     finally:
         bs.SPLIT_MAX_BYTES = orig
+
+
+class TestMergedKernel:
+    """v2 merged-split kernel (binned_segment_sum_merged): one dispatch for
+    all cliff splits, per-tile single write in the requested out dtype."""
+
+    @pytest.mark.parametrize(
+        "n_rows,p,dist",
+        [
+            (1000, 4096, "uniform"),
+            (512, 999, "uniform"),
+            (2048, 4096, "hot"),
+            (2048, 4096, "sparse"),
+            (130, 64, "uniform"),
+        ],
+    )
+    def test_matches_oracle(self, rng, n_rows, p, dist):
+        from localrf_tpu.ops.pallas.binned_scatter import (
+            binned_segment_sum_merged,
+        )
+
+        if dist == "uniform":
+            idx = rng.integers(0, n_rows, size=p)
+        elif dist == "hot":
+            idx = rng.integers(5, 60, size=p)
+        else:
+            idx = rng.choice([3, n_rows - 1, n_rows // 2], size=p)
+        g = rng.standard_normal((p, 128), dtype=np.float32)
+        idx = jnp.asarray(idx, jnp.int32)
+        g = jnp.asarray(g)
+        out = binned_segment_sum_merged(idx, g, n_rows, tile_rows=128, chunk=256)
+        assert out.dtype == jnp.float32
+        ref = _oracle(idx, g, n_rows)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_multi_split_schedule(self, rng, monkeypatch):
+        """Forced tiny SPLIT_MAX_BYTES: several per-split sorted streams must
+        interleave correctly in the tile-major merged schedule."""
+        import localrf_tpu.ops.pallas.binned_scatter as bs
+
+        monkeypatch.setattr(bs, "SPLIT_MAX_BYTES", 256 * 128 * 4)  # 256-row splits
+        p, n_rows = 2000, 777
+        idx = jnp.asarray(rng.integers(0, n_rows, size=p), jnp.int32)
+        g = jnp.asarray(rng.standard_normal((p, 128), dtype=np.float32))
+        out = bs.binned_segment_sum_merged(idx, g, n_rows, tile_rows=64, chunk=128)
+        ref = _oracle(idx, g, n_rows)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_bf16_out_dtype(self, rng):
+        """out_dtype=bfloat16: accumulation stays f32 in the VMEM scratch,
+        the single HBM write carries bf16."""
+        from localrf_tpu.ops.pallas.binned_scatter import (
+            binned_segment_sum_merged,
+        )
+
+        p, n_rows = 999, 300
+        idx = jnp.asarray(rng.integers(0, n_rows, size=p), jnp.int32)
+        g = jnp.asarray(rng.standard_normal((p, 128), dtype=np.float32), jnp.bfloat16)
+        out = binned_segment_sum_merged(
+            idx, g, n_rows, tile_rows=64, chunk=128, out_dtype=jnp.bfloat16
+        )
+        assert out.dtype == jnp.bfloat16
+        ref = _oracle(idx, g.astype(jnp.float32), n_rows)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), rtol=0.02, atol=0.05
+        )

@@ -219,3 +219,40 @@ def test_camera_prior_relative_pose_init():
     np.testing.assert_allclose(model.t_all[:, 0], 0.1 * np.arange(n), atol=1e-5)
     # focal derived from the prior transforms
     assert abs(model.init_focal - 500.0) < 1e-4
+
+
+def test_pose_links_follow_spawns_any_overlap():
+    """Frames appended after a spawn must link to the NEW field for every
+    n_overlap — including n_overlap=6 (the production default), where the
+    float cross-fade ladder used to leave a ~1e-16 residue in the retired
+    blending column and nonzero()[0][0] linked every post-spawn frame to
+    RF 0, freezing ALL pose optimization after the first spawn (root cause
+    of the full-scale parity pose deficit). Ref: local_tensorfs.py:119-164."""
+    for n_overlap in (2, 3, 5, 6, 7):
+        cfg = LocalConfig(
+            fov=60.0, n_init_frames=3, n_overlap=n_overlap, WH=(W, H),
+            tensorf=TensorfConfig(grid_size=(12, 12, 12)),
+        )
+        m = LocalTensorfs(cfg)
+        for _ in range(n_overlap + 2):
+            m.append_frame()
+        m.append_rf(n_added_frames=n_overlap)
+        for _ in range(3):
+            m.append_frame()
+        n = m.n_frames
+        assert m.pose_linked_rf[-3:] == [1, 1, 1], (
+            f"n_overlap={n_overlap}: post-spawn frames linked"
+            f" {m.pose_linked_rf[-3:]}, expected new field"
+        )
+        # retired column exactly zero on the last pre-append overlap row
+        assert m.blending_weights[n - 4, 0] == 0.0, (
+            f"n_overlap={n_overlap}: residue"
+            f" {m.blending_weights[n - 4, 0]!r} in retired column"
+        )
+        # the pose gate re-enables for the newly linked frames
+        gate = m._gate()
+        assert gate[: m.win_len].any(), "no pose updates after spawn"
+        # second spawn: links move to field 2
+        m.append_rf(n_added_frames=min(3, n_overlap))
+        m.append_frame()
+        assert m.pose_linked_rf[-1] == 2
