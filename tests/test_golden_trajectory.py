@@ -124,3 +124,78 @@ def test_joint_pose_field_optimization_converges(gather_dtype, mlp_dtype, moment
     assert np.isfinite(psnr_after)
     assert psnr_after > psnr_before + 3.0, (psnr_before, psnr_after)
     assert err_after < err_before, (err_before, err_after)
+
+
+@pytest.mark.slow
+def test_large_batch_convergence_batch8192():
+    """Multi-chip deployment arm (VERDICT r4 item 9): the DP scaling sweep
+    says per-chip batch >=1024 rays holds 85% efficiency, so an 8-chip mesh
+    wants global batch 8192 — 32x the toy arm's 256. Convergence at that
+    batch must survive the lr adjustment large-batch Adam implies: sqrt
+    scaling (x[sqrt(32)~5.7 -> use 4, conservative]) on the field lr and the
+    pose lrs, with proportionally fewer steps. The scene is upscaled (64x48,
+    8 frames = 24.6k pixels) so an 8192-ray batch is not a full-epoch draw.
+
+    Gate mirrors the main golden test: PSNR +3 dB and gauge-aligned pose
+    error strictly down. Ref schedule context: the reference trains at a
+    fixed batch 4096 (opt.py batch_size) with per-iteration exponential lr
+    decay; scaling batch by K with ~K fewer steps keeps the decay schedule
+    aligned per-epoch.
+    """
+    global W, H, N_FRAMES
+    W_, H_, NF_ = W, H, N_FRAMES
+    try:
+        W, H, N_FRAMES = 64, 48, 8
+        imgs, gt_t = _gt_scene()
+    finally:
+        W, H, N_FRAMES = W_, H_, NF_
+    w, h, nf = 64, 48, 8
+    ds = SyntheticDataset(imgs, "train", n_init_frames=nf, test_frame_every=0)
+    lr_scale = 4.0  # ~sqrt(32), conservative
+    cfg = LocalConfig(
+        fov=FOV,
+        n_init_frames=nf,
+        WH=(w, h),
+        n_views=8,
+        batch_size=8192,
+        n_iters_per_frame=10**6,
+        lr_R_init=5e-3 * lr_scale,
+        lr_t_init=5e-4 * lr_scale,
+        rf_lr_init=0.02 * lr_scale,
+        lr_exposure_init=0.0,
+        loss_flow_weight=0.0,
+        loss_depth_weight=0.0,
+        l1_weight=0.0,
+        tensorf=TensorfConfig(grid_size=(20, 20, 20)),
+    )
+    model = LocalTensorfs(cfg)
+    model.is_refining = True
+
+    def render_view(i):
+        rgb, _, _, _ = model.forward_eval(
+            np.arange(w * h), np.array([i]), w, h, chunk=w * h
+        )
+        return rgb.reshape(h, w, 3)
+
+    def psnr(a, b):
+        return -10 * np.log10(np.mean((a - b) ** 2) + 1e-12)
+
+    psnr_before = np.mean([psnr(render_view(i), imgs[i]) for i in (1, 5)])
+    model.sync_window_to_host()
+    err_before = _pose_err(model.t_all, gt_t)
+
+    # 32x batch -> ~1/8 the steps of the 300-step toy arm (40), conservative
+    for _ in range(8):
+        batches = [
+            ds.sample(cfg.batch_size, True, True, n_views=cfg.n_views)
+            for _ in range(5)
+        ]
+        model.run_chunk(batches, optimize_poses=True)
+
+    psnr_after = np.mean([psnr(render_view(i), imgs[i]) for i in (1, 5)])
+    model.sync_window_to_host()
+    err_after = _pose_err(model.t_all, gt_t)
+
+    assert np.isfinite(psnr_after)
+    assert psnr_after > psnr_before + 3.0, (psnr_before, psnr_after)
+    assert err_after < err_before, (err_before, err_after)
