@@ -38,8 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 # kernel is step-count-bound, so bigger tiles/chunks win until the one-hot
 # ([tile_rows, chunk] bf16) plus double-buffered payload blocks press VMEM
 # (~16 MB/core). Env-overridable for the hardware sweep
-# (scripts/ab_binned_shape.py); defaults are the measured r3 operating point.
-TILE_ROWS = int(os.environ.get("LOCALRF_BINNED_TILE_ROWS", "256"))
+# (scripts/ab_binned_shape.py). tile_rows default moved 256 -> 512 in
+# round 5: the isolated sweep won at both plane shapes (640^2 rows
+# 13.97 vs 15.20 ms, 404^2 6.64 vs 7.03) and the end-to-end A-B-A
+# schedule run confirmed (+1.2% weighted, +2% at the 640^3 stage;
+# PERF.md "Round 5: merged-split scatter", /tmp/tile_ab.log archived
+# in ROUND5.md).
+TILE_ROWS = int(os.environ.get("LOCALRF_BINNED_TILE_ROWS", "512"))
 CHUNK = int(os.environ.get("LOCALRF_BINNED_CHUNK", "1024"))
 
 # XLA's gather emitter has a measured TABLE-SIZE cliff on v5e: row gathers
