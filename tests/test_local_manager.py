@@ -54,6 +54,7 @@ def setup():
     return ds, cfg, model
 
 
+@pytest.mark.slow  # 26 s: multi-stage integration loop; unit paths covered by the other manager tests
 def test_progressive_training_loop(setup):
     ds, cfg, model = setup
     losses = []

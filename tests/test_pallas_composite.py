@@ -121,6 +121,7 @@ def test_onehot_multi_take_rows_grad_parity(rng):
     assert g1.dtype == tab.dtype
 
 
+@pytest.mark.slow  # 29 s: full-render integration arm; the per-op onehot parity tests stay quick
 def test_render_with_line_bwd_onehot_close_to_reference(rng):
     import dataclasses
 

@@ -92,6 +92,7 @@ def test_topk_grads_flow():
     assert float(jnp.sum(jnp.abs(g["mlp"]["w1"]))) > 0
 
 
+@pytest.mark.slow  # 61 s on the 1-core host; the driver runs dryrun_multichip separately every round
 def test_dryrun_multichip_8cpu():
     import sys
     sys.path.insert(0, "/root/repo")
