@@ -17,10 +17,19 @@ weight — exactly the reference's cull decision (alpha values are >= 0).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .grid import _unnormalize
+
+# Single-byte gathers hit XLA's slow sub-lane emitter (measured 8.1 ns/idx at
+# 0.69 GB/s on v5e — 11 ms for the fine cull at 640^3, see PERF.md "Round 5:
+# occupancy row-gather"). Gathering one 128-byte ROW per point (i >> 7) rides
+# the fast wide-row path, and the lane select (i & 127) fuses into the gather
+# consumer as a one-hot mul+reduce. Env kill-switch for A/B only.
+_ROW_GATHER = os.environ.get("LOCALRF_OCC_ROWGATHER", "1") != "0"
 
 
 def pack_alpha_corners(vol: jax.Array) -> jax.Array:
@@ -62,7 +71,17 @@ def occupancy_valid(
     wy = fy - y0.astype(fy.dtype)
     wz = fz - z0.astype(fz.dtype)
 
-    byte = packed.at[(z0 * h + y0) * w + x0].get(mode="promise_in_bounds").astype(jnp.int32)
+    flat = (z0 * h + y0) * w + x0
+    if _ROW_GATHER:
+        n = packed.shape[0]
+        n_rows = (n + 127) // 128
+        tbl = packed if n_rows * 128 == n else jnp.pad(packed, (0, n_rows * 128 - n))
+        g = tbl.reshape(n_rows, 128).at[flat >> 7].get(mode="promise_in_bounds")
+        lane = flat & 127
+        onehot = lane[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]
+        byte = jnp.sum(jnp.where(onehot, g, jnp.uint8(0)).astype(jnp.int32), axis=1)
+    else:
+        byte = packed.at[flat].get(mode="promise_in_bounds").astype(jnp.int32)
 
     valid = jnp.zeros(coords.shape[0], bool)
     k = 0

@@ -152,6 +152,24 @@ def test_occupancy_pack_and_valid_match_trilinear():
     np.testing.assert_array_equal(fast, tri > 0)
 
 
+def test_occupancy_row_gather_matches_scalar_gather(monkeypatch):
+    """The 128-byte row-gather fast path (i>>7 row + i&127 one-hot lane) must
+    be bit-identical to the scalar byte gather, on both 128-multiple and
+    ragged table sizes (padding path)."""
+    from localrf_tpu.ops import occupancy as occ
+
+    rng = np.random.default_rng(11)
+    for shape in ((8, 8, 8), (9, 12, 10), (16, 40, 20)):  # 512 | 1080 | 12800
+        vol = (rng.uniform(size=shape) > 0.6).astype(np.float32)
+        coords = rng.uniform(-1, 1, (700, 3)).astype(np.float32)
+        packed = occ.pack_alpha_corners(jnp.asarray(vol))
+        monkeypatch.setattr(occ, "_ROW_GATHER", True)
+        fast = np.asarray(occ.occupancy_valid(packed, shape, jnp.asarray(coords)))
+        monkeypatch.setattr(occ, "_ROW_GATHER", False)
+        ref = np.asarray(occ.occupancy_valid(packed, shape, jnp.asarray(coords)))
+        np.testing.assert_array_equal(fast, ref)
+
+
 @pytest.mark.slow
 def test_occupancy_compaction_grads():
     import dataclasses
