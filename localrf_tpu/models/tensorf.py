@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any
 
 import jax
@@ -654,15 +655,71 @@ def vector_comp_diffs(params) -> jax.Array:
     return total
 
 
+def _l1_block_size(d_sizes, n_vox: int, target: int = 512_000) -> int:
+    """Largest B <= ~target that is a multiple of every line length and a
+    divisor of n_vox (0 if none exists — non-commensurate grid)."""
+    lcm = 1
+    for d in d_sizes:
+        lcm = lcm * d // math.gcd(lcm, d)
+    if lcm > n_vox or n_vox % lcm:
+        return 0
+    q = n_vox // lcm
+    for k in range(min(q, max(1, target // lcm)), 0, -1):
+        if q % k == 0:
+            return lcm * k
+    return lcm
+
+
+def _density_l1_streamed(params, cfg: TensorfConfig, n_vox: int, blk: int) -> jax.Array:
+    """Blockwise density_l1: same per-voxel math as the dense path, but the
+    [n_vox] outer-product volume is produced one VMEM-sized block at a time
+    inside a rematerialized scan, so neither forward nor backward ever
+    writes the dense grid to HBM (PERF.md "Round 5: streamed density L1";
+    the dense path cost 26 ms of the 154 ms step at 640^3)."""
+    planes = [
+        params[f"density_plane_{i}"].reshape(params[f"density_plane_{i}"].shape[0], -1)
+        for i in range(3)
+    ]  # [C, P_i]
+    lines = [params[f"density_line_{i}"] for i in range(3)]  # [C, D_i]
+    rows = [blk // lines[i].shape[1] for i in range(3)]
+
+    def body(acc, b):
+        feat = jnp.zeros((blk,), jnp.float32)
+        for i in range(3):
+            sl = jax.lax.dynamic_slice(
+                planes[i], (0, b * rows[i]), (planes[i].shape[0], rows[i])
+            )
+            feat = feat + jnp.einsum("cp,cd->pd", sl, lines[i]).reshape(blk)
+        sigmas = feature2density(feat, cfg)
+        return acc + jnp.sum(jnp.sqrt(jnp.clip(sigmas, 1e-5, None))), None
+
+    acc, _ = jax.lax.scan(
+        jax.checkpoint(body),
+        jnp.zeros((), jnp.float32),
+        jnp.arange(n_vox // blk, dtype=jnp.int32),
+    )
+    return acc / n_vox
+
+
+_L1_STREAM = os.environ.get("LOCALRF_L1_STREAM", "1") != "0"
+_L1_STREAM_MIN_VOX = int(os.environ.get("LOCALRF_L1_STREAM_MIN_VOX", str(4 * 2**20)))
+
+
 def density_l1(params, cfg: TensorfConfig) -> jax.Array:
     """mean sqrt(density) over the full outer-product grid.
 
     Reproduces the reference's exact (layout-quirky) accumulation where each
     plane's [P, D] outer product is flattened in its own axis order before
-    the three are summed elementwise (ref: models/tensoRF.py:83-92). Only
-    ever evaluated at the coarse grid, so materializing is cheap.
-    """
+    the three are summed elementwise (ref: models/tensoRF.py:83-92). Above
+    _L1_STREAM_MIN_VOX voxels the blockwise path is used: identical
+    per-voxel values, only the mean's f32 accumulation order differs (the
+    dense path materializes ~n_vox*4 bytes several times per step in both
+    forward and backward — 26 ms/step at 640^3, see PERF.md)."""
     n_vox = int(np.prod(cfg.grid_size))
+    d_sizes = [params[f"density_line_{i}"].shape[1] for i in range(3)]
+    blk = _l1_block_size(d_sizes, n_vox)
+    if _L1_STREAM and n_vox >= _L1_STREAM_MIN_VOX and blk:
+        return _density_l1_streamed(params, cfg, n_vox, blk)
     sigma_feature = jnp.zeros((n_vox,), jnp.float32)
     for i in range(3):
         plane = params[f"density_plane_{i}"].reshape(

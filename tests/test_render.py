@@ -265,3 +265,51 @@ def test_dense_alpha_slab_path_bit_exact():
     finally:
         tf_mod._DENSE_ALPHA_CHUNK_PTS = orig
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+
+def test_density_l1_streamed_matches_dense():
+    """Blockwise density_l1 must match the dense outer-product path in value
+    AND gradient (only the mean's f32 accumulation order differs), on cubic
+    and non-cubic commensurate grids, across multiple block counts."""
+    import localrf_tpu.models.tensorf as tf_mod
+    from localrf_tpu.models.tensorf import (
+        TensorfConfig,
+        _density_l1_streamed,
+        _l1_block_size,
+        density_l1,
+        init_tensorf,
+    )
+
+    for grid in ((24, 24, 24), (8, 16, 32)):
+        cfg = TensorfConfig(grid_size=grid)
+        params = init_tensorf(jax.random.PRNGKey(3), cfg)
+        n_vox = int(np.prod(grid))
+        dense_fn = lambda p: density_l1(p, cfg)  # MIN_VOX keeps this dense
+
+        d_sizes = [params[f"density_line_{i}"].shape[1] for i in range(3)]
+        for target in (n_vox, 2048, max(d_sizes)):
+            blk = _l1_block_size(d_sizes, n_vox, target=target)
+            assert blk > 0 and n_vox % blk == 0
+            stream_fn = lambda p: _density_l1_streamed(p, cfg, n_vox, blk)
+            v0, g0 = jax.value_and_grad(dense_fn)(params)
+            v1, g1 = jax.value_and_grad(stream_fn)(params)
+            np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+            for k in g0:
+                if k == "mlp":
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(g1[k]), np.asarray(g0[k]), rtol=2e-4, atol=1e-7,
+                    err_msg=f"grid={grid} target={target} key={k}",
+                )
+
+    # the dispatcher itself: force streaming via the module threshold
+    cfg = TensorfConfig(grid_size=(24, 24, 24))
+    params = init_tensorf(jax.random.PRNGKey(4), cfg)
+    v_dense = float(density_l1(params, cfg))
+    orig = tf_mod._L1_STREAM_MIN_VOX
+    tf_mod._L1_STREAM_MIN_VOX = 1
+    try:
+        v_stream = float(density_l1(params, cfg))
+    finally:
+        tf_mod._L1_STREAM_MIN_VOX = orig
+    np.testing.assert_allclose(v_stream, v_dense, rtol=1e-5)
